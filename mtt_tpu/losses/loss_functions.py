@@ -1,0 +1,125 @@
+"""Per-task losses as pure jnp functions (ignore-region aware).
+
+Equivalents of the reference loss classes
+(InvPT/losses/loss_functions.py:15-172; TaskPrompter adds an
+``ignore_invalid_area`` depth switch at losses/loss_functions.py:153-177):
+  * cross_entropy_loss     — mean over valid pixels, optional class balancing
+  * balanced_bce_loss      — HED-style positive weighting for edges
+  * l1_loss                — masked L1, optional L2-normalisation for normals
+
+All take NHWC predictions and labels; masking is by ``ignore_index`` (no
+boolean indexing — everything fixed-shape and jit-safe).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits, label, ignore_index: int = 255,
+                       balanced: bool = False):
+    """Softmax CE with ignore regions, averaged over valid pixels.
+
+    logits: (B, H, W, K); label: (B, H, W) or (B, H, W, 1) integer.
+    ``balanced`` replicates the binary class-balancing used for saliency
+    (loss_functions.py:32-41).
+    """
+    if label.ndim == logits.ndim:
+        label = label[..., 0]
+    label = label.astype(jnp.int32)
+    valid = (label != ignore_index)
+    safe_label = jnp.where(valid, label, 0)
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_label[..., None], axis=-1)[..., 0]
+
+    if balanced:
+        # binary pos/neg balancing: weight = freq of the other class
+        n_valid = jnp.maximum(valid.sum(), 1)
+        pos = jnp.where(valid, safe_label, 0).sum()
+        w_pos = (n_valid - pos) / n_valid
+        weight = jnp.where(safe_label == 1, w_pos, 1.0 - w_pos)
+        nll = nll * weight
+
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def balanced_bce_loss(logits, label, ignore_index: int = 255,
+                      pos_weight: float | None = None):
+    """Balanced binary CE with ignore regions (loss_functions.py:56-88).
+
+    HED-style: w = #neg/#total over valid pixels; positive examples weighted
+    w/(1-w), and the final loss multiplied by (1-w) — matching the
+    reference's ``loss / factor`` with factor = 1/(1-w).
+    """
+    logits = logits.astype(jnp.float32)
+    if label.ndim == logits.ndim - 1:
+        label = label[..., None]
+    label = label.astype(jnp.float32)
+    valid = (label != ignore_index)
+    lab = jnp.where(valid, label, 0.0)
+
+    n_valid = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    if pos_weight is None:
+        w = jnp.where(valid, 1.0 - lab, 0.0).sum() / n_valid
+    else:
+        w = jnp.asarray(pos_weight, jnp.float32)
+
+    # elementwise BCE-with-logits, positives weighted by w/(1-w)
+    log_p = jax.nn.log_sigmoid(logits)
+    log_np = jax.nn.log_sigmoid(-logits)
+    pw = w / jnp.maximum(1.0 - w, 1e-6)
+    per = -(pw * lab * log_p + (1.0 - lab) * log_np)
+    per = jnp.where(valid, per, 0.0)
+    # reference: mean over valid elements then / factor (== * (1 - w))
+    return per.sum() / n_valid * (1.0 - w)
+
+
+def l1_loss(pred, label, ignore_index: int = 255, normalize: bool = False):
+    """Masked L1; a pixel is valid when *all* channels != ignore_index
+    (loss_functions.py:147-172). ``normalize`` L2-normalises predictions
+    along the channel axis (surface normals)."""
+    pred = pred.astype(jnp.float32)
+    label = label.astype(jnp.float32)
+    if normalize:
+        norm = jnp.linalg.norm(pred, axis=-1, keepdims=True)
+        pred = pred / jnp.maximum(norm, 1e-12)
+    valid = jnp.all(label != ignore_index, axis=-1, keepdims=True)
+    diff = jnp.where(valid, jnp.abs(pred - label), 0.0)
+    n_valid = jnp.maximum(valid.sum(), 1)
+    return diff.sum() / n_valid
+
+
+def depth_l1_loss(pred, label, ignore_invalid_area: bool = True):
+    """Depth L1 with invalid-area masking: the TaskPrompter variant masks
+    label == -1 (and 0), the InvPT variant masks label == 255
+    (TaskPrompter/losses/loss_functions.py:153-177)."""
+    pred = pred.astype(jnp.float32)
+    label = label.astype(jnp.float32)
+    if ignore_invalid_area:
+        valid = (label != -1.0) & (label != 255.0)
+    else:
+        valid = (label != 255.0)
+    diff = jnp.where(valid, jnp.abs(pred - label), 0.0)
+    return diff.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def get_loss_fn(task: str, p):
+    """Per-task loss selector (reference get_loss,
+    InvPT/utils/common_config.py:168-189)."""
+    ignore = p.get("ignore_index", 255)
+    if task in ("semseg", "human_parts"):
+        return lambda pred, gt: cross_entropy_loss(pred, gt, ignore)
+    if task == "sal":
+        return lambda pred, gt: cross_entropy_loss(pred, gt, ignore, balanced=True)
+    if task == "edge":
+        return lambda pred, gt: balanced_bce_loss(pred, gt, ignore,
+                                                  pos_weight=p.get("edge_w"))
+    if task == "normals":
+        return lambda pred, gt: l1_loss(pred, gt, ignore, normalize=True)
+    if task == "depth":
+        inv = p.get("ignore_invalid_area_depth", False)
+        return lambda pred, gt: depth_l1_loss(pred, gt, ignore_invalid_area=inv)
+    raise NotImplementedError(f"Undefined loss for task {task}")

@@ -1,0 +1,282 @@
+"""InvPT inverted-pyramid UP-Transformer multi-task decoder (TPU-native).
+
+Re-design of the reference decoder (InvPT/models/transformers/invpt.py:19-545
+and transformer_decoder.py:18-131): three stages at rising resolution run
+shared cross-task self-attention over the concatenation of all task token
+maps, with the previous stage's attention matrix bilinearly upsampled and
+fused into the current scores ("attention message passing",
+invpt.py:207-230).
+
+TPU-first choices:
+  * tasks ride a leading stacked axis (B, T, H, W, C) so per-task convs
+    become batched convs and the cross-task concat is a reshape, not a loop;
+  * attention logits/softmax in fp32 on the MXU, bf16 elsewhere;
+  * the kv length is constant across stages (stride 2/4/8 against resolution
+    x1/x2/x4 => always an 8x8 grid per task), which keeps the message tensor
+    shape static and jit-friendly.
+
+Config constants mirror the reference spec (transformer_decoder.py:28-47):
+DIM_EMBED [D, D/2, D/4] with D = embed_dim + PRED_OUT_NUM_CONSTANT, 2 heads,
+q dw-conv stride 2, kv avg-pool strides (2, 4, 8).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, Mlp, interpolate,
+                                   trunc_normal, upsample2x)
+
+
+def _flatten_tasks(x):  # (B,T,H,W,C) -> (B, T*H*W, C)
+    B, T, H, W, C = x.shape
+    return x.reshape(B, T * H * W, C)
+
+
+def _unflatten_tasks(x, T, H, W):  # (B, T*H*W, C) -> (B,T,H,W,C)
+    B, _, C = x.shape
+    return x.reshape(B, T, H, W, C)
+
+
+class TaskStackConvBN(nn.Module):
+    """Independent conv per task + BN over a stacked (B,T,H,W,C) tensor.
+
+    TPU-native formulation: the task axis is merged into channels and the
+    per-task convolutions become ONE grouped convolution
+    (feature_group_count = T, or T*C when ``depthwise``), which XLA tiles
+    onto the MXU as a single large op instead of T small ones. BN over the
+    merged T*C channel axis is exactly per-task BN (per-channel statistics
+    and affine parameters).
+    """
+    features: int                       # output channels PER TASK
+    kernel_size: Tuple[int, int] = (3, 3)
+    dilation: Tuple[int, int] = (1, 1)
+    strides: Tuple[int, int] = (1, 1)
+    depthwise: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, T, H, W, C = x.shape
+        xm = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
+        groups = T * C if self.depthwise else T
+        xm = nn.Conv(self.features * T, self.kernel_size, strides=self.strides,
+                     kernel_dilation=self.dilation, padding="SAME",
+                     feature_group_count=groups, use_bias=False,
+                     dtype=self.dtype, name="conv")(xm)
+        xm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="bn")(xm)
+        Ho, Wo = xm.shape[1:3]
+        return xm.reshape(B, Ho, Wo, T, self.features).transpose(0, 3, 1, 2, 4)
+
+
+class UpEmbed(nn.Module):
+    """Per-task 2x upsample + two dilated 3x3 conv-BN-ReLU stacks
+    (reference UpEmbed, invpt.py:19-43: kernel 3, dilation 2, stride 1)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B, T, H, W, C = x.shape
+        x = x.reshape(B * T, H, W, C)
+        x = jax.image.resize(x, (B * T, 2 * H, 2 * W, C), method="linear")
+        x = x.reshape(B, T, 2 * H, 2 * W, C)
+        x = TaskStackConvBN(self.features, (3, 3), dilation=(2, 2),
+                            dtype=self.dtype, name="proj1")(x, train=train)
+        x = nn.relu(x)
+        x = TaskStackConvBN(self.features, (3, 3), dilation=(2, 2),
+                            dtype=self.dtype, name="proj2")(x, train=train)
+        return nn.relu(x)
+
+
+class CrossTaskAttention(nn.Module):
+    """Shared self-attention over all tasks' tokens with message passing.
+
+    Reference SelfAttention (invpt.py:68-241): q via per-task depthwise conv
+    stride 2 + BN, k/v via per-task avg-pool stride ``kv_stride``; attention
+    scale is dim**-0.5 on the *full* (not per-head) dim (invpt.py:92);
+    previous-stage scores upsampled 2x per task on the query grid and fused
+    with a 1x1 conv over the stacked head axis (invpt.py:207-230).
+    """
+    dim: int
+    num_heads: int = 2
+    kv_stride: int = 2
+    q_stride: int = 2
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, message: Optional[jax.Array], *, train: bool = False):
+        B, T, H, W, C = x.shape
+        qh, qw = H // self.q_stride, W // self.q_stride
+        kh, kw = H // self.kv_stride, W // self.kv_stride
+
+        # q: per-task depthwise conv stride 2 + BN (invpt.py:124-137)
+        q_map = TaskStackConvBN(C, (3, 3), strides=(2, 2), depthwise=True,
+                                dtype=self.dtype, name="conv_proj_q")(x, train=train)
+        q = q_map.reshape(B, T * qh * qw, C)
+
+        # k/v: per-task average pooling (invpt.py:139-149)
+        kv_map = nn.avg_pool(x.reshape(B * T, H, W, C),
+                             (self.kv_stride, self.kv_stride),
+                             (self.kv_stride, self.kv_stride))
+        kv = kv_map.reshape(B, T * kh * kw, C)
+
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="proj_q")(q)
+        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="proj_k")(kv)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="proj_v")(kv)
+
+        Hn, D = self.num_heads, self.dim // self.num_heads
+        Lq, Lk = q.shape[1], k.shape[1]
+        qh_ = q.reshape(B, Lq, Hn, D)
+        kh_ = k.reshape(B, Lk, Hn, D)
+        vh_ = v.reshape(B, Lk, Hn, D)
+
+        scale = self.dim ** -0.5  # full-dim scale, invpt.py:92
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh_, kh_,
+                            preferred_element_type=jnp.float32) * scale
+
+        # attention message passing from the previous stage (invpt.py:207-230)
+        if message is not None:
+            ph, pw = qh // 2, qw // 2  # previous stage query grid per task
+            prev = message.reshape(B * Hn * T, ph, pw, Lk)
+            prev = jax.image.resize(prev, (B * Hn * T, qh, qw, Lk), method="linear")
+            prev = prev.reshape(B, Hn, T * qh * qw, Lk)
+            both = jnp.concatenate([scores, prev], axis=1)  # (B, 2Hn, Lq, Lk)
+            w = self.param("fuse_attn_kernel", trunc_normal(0.02), (Hn, 2 * Hn))
+            b = self.param("fuse_attn_bias", nn.initializers.zeros, (Hn,))
+            scores = jnp.einsum("hc,bclk->bhlk", w, both) + b[None, :, None, None]
+
+        new_message = scores  # (B, Hn, T*qh*qw, T*kh*kw); reshaped by caller
+
+        probs = jax.nn.softmax(scores, axis=-1).astype(vh_.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh_)
+        out = out.reshape(B, Lq, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        # upsample attention output back to block resolution (invpt.py:299-305)
+        out = out.reshape(B * T, qh, qw, self.dim)
+        out = jax.image.resize(out, (B * T, H, W, self.dim), method="linear")
+        out = out.reshape(B, T, H, W, self.dim)
+        return out, new_message
+
+
+class InvPTBlock(nn.Module):
+    """norm -> cross-task attention -> residual -> shared MLP
+    (reference InvPTBlock, invpt.py:243-312)."""
+    dim: int
+    num_heads: int = 2
+    kv_stride: int = 2
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, message, *, train: bool = False):
+        B, T, H, W, C = x.shape
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        attn_out, new_message = CrossTaskAttention(
+            self.dim, self.num_heads, self.kv_stride, dtype=self.dtype,
+            name="attn")(h, message, train=train)
+        x = x + DropPath(self.drop_path, name="dp1")(attn_out, deterministic=not train)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        x = x + DropPath(self.drop_path, name="dp2")(h, deterministic=not train)
+        return x, new_message
+
+
+class InvPTDecoder(nn.Module):
+    """Full decoder: preamble (preliminary decoders + intermediate heads) +
+    3 UP-Transformer stages + multi-scale aggregation.
+
+    Mirrors TransformerDecoder (transformer_decoder.py:18-98) and InvPT
+    (invpt.py:419-545). Returns (task_features, intermediate_preds):
+      task_features[t]: (B, 8*h0, 8*w0, D) where h0 = grid/mtt_downsample
+      intermediate_preds[t]: (B, h0, w0, NUM_OUTPUT[t])
+    """
+    tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    embed_dim: int = 512            # p.embed_dim
+    pred_out: int = 64              # p.PRED_OUT_NUM_CONSTANT
+    backbone_dim: int = 1024
+    mtt_downsample: int = 2         # p.mtt_resolution_downsample_rate
+    num_heads: int = 2
+    drop_path: float = 0.15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps: List[jax.Array], grid: Tuple[int, int], *,
+                 train: bool = False):
+        T = len(self.tasks)
+        gh, gw = grid
+        B = taps[0].shape[0]
+        D = self.embed_dim + self.pred_out         # 576 for PASCAL config
+        dims = (D, D // 2, D // 4)
+        kv_strides = (2, 4, 8)
+
+        maps = [t.reshape(B, gh, gw, t.shape[-1]) for t in taps]
+
+        # scale_embed skip adapters (transformer_decoder.py:63-67).
+        # back2 (scale_embed[2] in the reference) is built but unused there —
+        # stage 0 has no patch_embed so its skip-add never runs; we omit it.
+        back0 = nn.ConvTranspose(dims[2], (3, 3), strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype, name="scale_embed_0")(maps[0])
+        back1 = nn.Conv(dims[1], (3, 3), padding="SAME", dtype=self.dtype,
+                        name="scale_embed_1")(maps[1])
+
+        # preamble at mtt resolution (transformer_decoder.py:85-95)
+        h0, w0 = gh // self.mtt_downsample, gw // self.mtt_downsample
+        x_in = interpolate(maps[3], (h0, w0), "bilinear")
+
+        feats, inter_preds = [], {}
+        for t in self.tasks:
+            f = ConvBNAct(self.backbone_dim, (3, 3), dtype=self.dtype,
+                          name=f"prelim_{t}_0")(x_in, train=train)
+            f = ConvBNAct(self.embed_dim, (3, 3), dtype=self.dtype,
+                          name=f"prelim_{t}_1")(f, train=train)
+            ip = nn.Conv(self.num_outputs[t], (1, 1), dtype=self.dtype,
+                         name=f"inter_head_{t}")(f)
+            inter_preds[t] = ip
+            mix = nn.Conv(D, (1, 1), dtype=self.dtype, name=f"mix_proj_{t}")(
+                jnp.concatenate([f, ip], axis=-1))
+            feats.append(mix)
+        x = jnp.stack(feats, axis=1)  # (B, T, h0, w0, D)
+
+        th, tw = 8 * h0, 8 * w0
+        message = None
+        acc = {t: 0.0 for t in self.tasks}
+
+        for i in range(3):
+            if i > 0:
+                x = UpEmbed(dims[i], dtype=self.dtype, name=f"up_embed_{i}")(
+                    x, train=train)
+                skip = back1 if i == 1 else back0
+                x = x + skip[:, None]
+            x, message = InvPTBlock(dims[i], self.num_heads, kv_strides[i],
+                                    drop_path=self.drop_path, dtype=self.dtype,
+                                    name=f"stage_{i}")(x, message, train=train)
+
+            # stage norm over the task-concatenated channel dim
+            # (invpt.py:524-527: LayerNorm(task_no * dim))
+            Bx, Tx, Hx, Wx, Cx = x.shape
+            xs = x.transpose(0, 2, 3, 1, 4).reshape(Bx, Hx, Wx, Tx * Cx)
+            xs = nn.LayerNorm(dtype=self.dtype, name=f"norm_mt_{i}")(xs)
+            xs = xs.reshape(Bx, Hx, Wx, Tx, Cx).transpose(0, 3, 1, 2, 4)
+
+            for ti, t in enumerate(self.tasks):
+                tx = xs[:, ti]
+                if i > 0:  # redu_chan only for stages past the first (invpt.py:535-536)
+                    tx = nn.Conv(D, (1, 1), dtype=self.dtype,
+                                 name=f"redu_chan_{i}_{t}")(tx)
+                acc[t] = acc[t] + interpolate(tx, (th, tw), "bilinear")
+
+        out = {}
+        for t in self.tasks:
+            out[t] = ConvBNAct(D, (3, 3), dtype=self.dtype,
+                               name=f"mt_proj_{t}")(acc[t], train=train)
+        return out, inter_preds

@@ -1,0 +1,178 @@
+"""Core Flax building blocks shared by all model families.
+
+TPU-native re-design of the timm building blocks the reference depends on
+(PatchEmbed / Mlp / DropPath / trunc_normal_, cited at
+InvPT/models/transformers/vit.py:28-30): NHWC layouts, bf16-friendly compute
+with fp32 parameter storage, and attention expressed as batched einsums that
+XLA tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Parameter init matching timm's trunc_normal_(std=.02) convention.
+def trunc_normal(std: float = 0.02, mean: float = 0.0):
+    def init(key, shape, dtype=jnp.float32):
+        # 2-sigma truncation, same as torch.nn.init.trunc_normal_ defaults
+        return mean + std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return init
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> fc2 (timm Mlp equivalent)."""
+    hidden_features: int
+    out_features: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        out_dim = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath equivalent)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class PatchEmbed(nn.Module):
+    """Image-to-token embedding via a strided conv (timm PatchEmbed equivalent).
+
+    Input NHWC image; returns (tokens (B, H/p * W/p, C), (gh, gw)).
+    """
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jax.Array, Tuple[int, int]]:
+        p = self.patch_size
+        x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
+                    padding="VALID", dtype=self.dtype, name="proj")(x)
+        B, gh, gw, C = x.shape
+        return x.reshape(B, gh * gw, C), (gh, gw)
+
+
+def dot_product_attention(q, k, v, scale: Optional[float] = None):
+    """Plain softmax attention over (B, N, H, D) tensors, fp32 softmax.
+
+    Kept as a seam so the Pallas flash kernel (mtt_tpu.kernels) can be swapped
+    in for long sequences; XLA already fuses this form well at ViT lengths.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class Attention(nn.Module):
+    """Standard ViT multi-head self-attention (reference vit.py:172-196).
+
+    Single fused QKV projection; heads laid out for MXU-friendly batched
+    matmuls.
+    """
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v, scale=D ** -0.5)
+        out = out.reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x))."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        C = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.num_heads, self.qkv_bias, self.dtype, name="attn")(
+            h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            h, deterministic=deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic=deterministic)
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm -> activation, NHWC.
+
+    BatchNorm statistics computed under jit over the (possibly sharded) batch
+    axis are *global* statistics under GSPMD — this is the TPU-native
+    equivalent of the reference's SyncBatchNorm (invpt.py:14).
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    padding: str | Sequence[Tuple[int, int]] = "SAME"
+    use_bias: bool = False
+    act: Optional[Callable] = nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    kernel_dilation=self.dilation, padding=self.padding,
+                    use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def interpolate(x, size: Tuple[int, int], method: str = "bilinear"):
+    """Resize NHWC feature maps. Half-pixel centers == torch align_corners=False."""
+    B, H, W, C = x.shape
+    if (H, W) == tuple(size):
+        return x
+    jax_method = {"bilinear": "linear", "linear": "linear",
+                  "nearest": "nearest", "bicubic": "cubic", "cubic": "cubic"}[method]
+    return jax.image.resize(x, (B, size[0], size[1], C), method=jax_method)
+
+
+def upsample2x(x):
+    """2x bilinear upsample, NHWC."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")

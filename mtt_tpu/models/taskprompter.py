@@ -1,0 +1,289 @@
+"""TaskPrompter-ViT backbone: spatial-channel task prompting (TPU-native).
+
+Re-design of the reference TaskPrompter
+(TaskPrompter/models/transformers/taskprompter.py:168-487): learnable
+per-task prompt tokens joined with patch tokens in every block. Each block
+runs (a) joint spatial MHSA over [prompts; patches] and (b) a channel-wise
+prompt pathway; at 4 selected depths, *raw* (pre-softmax, pre-scale)
+prompt->patch and prompt->channel attention maps decode per-task features
+(taskprompter.py:424-487), optionally recombined across tasks by
+Cross-Task Reweighting.
+
+TPU-first choices vs the reference:
+  * the joint attention runs as one fused softmax-attention; raw prompt-row
+    scores are recomputed only at tap layers (a (P, P+N) matmul, negligible)
+    instead of materializing the full raw score tensor every block;
+  * the channel-attention *value* product — computed but never used by the
+    reference (its output `chan_x` is dead at taskprompter.py:244-250) — is
+    elided; only the raw channel scores needed for decoding are formed;
+  * everything NHWC, fp32 softmax, bf16-friendly matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, Mlp, PatchEmbed,
+                                   dot_product_attention, trunc_normal)
+
+
+class PromptBlockOut:
+    """Per-block tap payload: raw spatial & channel attention scores."""
+    __slots__ = ("raw_spa", "raw_chan")
+
+    def __init__(self, raw_spa, raw_chan):
+        self.raw_spa = raw_spa      # (B, H, P, P+N) pre-scale scores
+        self.raw_chan = raw_chan    # (B, nwins, T*pl? -> P, C) raw channel scores
+
+
+class PromptedBlock(nn.Module):
+    """One TaskPrompter transformer block (reference Block + Attention,
+    taskprompter.py:168-279). Returns updated (x, prompts) and, when
+    ``need_taps``, the raw attention scores used for task-feature decoding.
+    """
+    num_heads: int
+    chan_windows: Tuple[int, int]      # (nh, nw) channel-attention windows
+    grid: Tuple[int, int]              # (gh, gw) patch grid
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prompts, *, need_taps: bool = False,
+                 deterministic: bool = True):
+        B, N, C = x.shape
+        P = prompts.shape[1]
+        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        xn = norm1(x)
+        pn = norm1(prompts)
+
+        joint = jnp.concatenate([pn, xn], axis=1)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(joint)
+        H, D = self.num_heads, C // self.num_heads
+        qkv = qkv.reshape(B, P + N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        out = dot_product_attention(q, k, v, scale=D ** -0.5)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, P + N, C))
+        p_attn, x_attn = out[:, :P], out[:, P:]
+
+        # channel pathway: prompts -> pixel-space queries; the reference's
+        # value product is dead code, only token_trans/token_trans1 feed the
+        # prompt update (taskprompter.py:219,250)
+        gh, gw = self.grid
+        pixel_no = gh * gw
+        chan_prompts = nn.Dense(pixel_no, dtype=self.dtype,
+                                name="token_trans")(pn)
+        p_attn = p_attn + nn.Dense(C, dtype=self.dtype,
+                                   name="token_trans1")(chan_prompts)
+
+        raw = None
+        if need_taps:
+            # raw (pre-scale, pre-softmax) prompt-row spatial scores
+            raw_spa = jnp.einsum("bphd,bkhd->bhpk", q[:, :P], k,
+                                 preferred_element_type=jnp.float32)
+            # raw windowed channel scores: q = chan_prompts (pixel space),
+            # k = patch features as channel tokens (taskprompter.py:228-240)
+            nh, nw = self.chan_windows
+            wh, ww = gh // nh, gw // nw
+            qc = chan_prompts.reshape(B, P, nh, wh, nw, ww).transpose(0, 2, 4, 1, 3, 5)
+            qc = qc.reshape(B, nh * nw, P, wh * ww)
+            kc = xn.transpose(0, 2, 1).reshape(B, C, nh, wh, nw, ww)
+            kc = kc.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nw, C, wh * ww)
+            raw_chan = jnp.einsum("bwpm,bwcm->bwpc", qc, kc,
+                                  preferred_element_type=jnp.float32)
+            raw = PromptBlockOut(raw_spa, raw_chan)
+
+        dp = DropPath(self.drop_path, name="dp")
+        x = x + dp(x_attn, deterministic=deterministic)
+        prompts = prompts + dp(p_attn, deterministic=deterministic)
+
+        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        x = x + dp(mlp(norm2(x), deterministic=deterministic),
+                   deterministic=deterministic)
+        prompts = prompts + dp(mlp(norm2(prompts), deterministic=deterministic),
+                               deterministic=deterministic)
+        return x, prompts, raw
+
+
+class TaskFeatureDecode(nn.Module):
+    """Decode per-task features from raw attention at one tap layer
+    (reference cal_task_feature, taskprompter.py:424-487)."""
+    tasks: Sequence[str]
+    num_heads: int
+    prompt_len: int
+    chan_windows: Tuple[int, int]
+    tar_dim: int
+    final_dim: int
+    use_ctr: bool
+    layer_idx: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_map, raw: PromptBlockOut, *, train: bool = False):
+        B, gh, gw, C = x_map.shape
+        T = len(self.tasks)
+        pl = self.prompt_len
+        P = T * pl
+        G = self.num_heads * pl          # spatial attention groups
+        gc = C // G                      # channels per group
+        nh, nw = self.chan_windows
+        wh, ww = gh // nh, gw // nw
+        il = self.layer_idx
+
+        # prompt->patch spatial maps: (B, H, P, P+N) -> per-task (B, G, gh, gw)
+        # with head-major group order (taskprompter.py:436-438 rearranges
+        # 'b nh np (h w) -> b (nh np) h w').
+        spa = raw.raw_spa[:, :, :, P:]                     # (B,H,P,N)
+        spa = spa.reshape(B, self.num_heads, T, pl, gh, gw)
+        spa = spa.transpose(0, 2, 1, 3, 4, 5).reshape(B, T, G, gh, gw)
+        chan = raw.raw_chan                                # (B, nwins, P, C)
+        chan = chan.reshape(B, nh, nw, T, pl, C)
+
+        task_fea: Dict[str, jax.Array] = {}
+        for ti, t in enumerate(self.tasks):
+            # --- spatial decode (taskprompter.py:434-448)
+            a = spa[:, ti].transpose(0, 2, 3, 1)           # (B,gh,gw,G)
+            xg = x_map.reshape(B, gh, gw, G, gc)
+            f = (xg * a[..., None].astype(xg.dtype)).reshape(B, gh, gw, C) + x_map
+            f = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
+                        name=f"fea_decode_spa_{il}_{t}")(f)
+
+            # --- channel decode (taskprompter.py:450-469)
+            cw = chan[:, :, :, ti, 0]                      # (B,nh,nw,C)
+            xw = x_map.reshape(B, nh, wh, nw, ww, C)
+            fw = xw * cw[:, :, None, :, None, :].astype(xw.dtype)
+            fw = fw.reshape(B, gh, gw, C) + x_map
+            fc = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
+                         name=f"fea_decode_chan_{il}_{t}")(fw)
+
+            # --- fuse (taskprompter.py:471-474)
+            cat = jnp.concatenate([f, fc], axis=-1)
+            cat = nn.Conv(self.final_dim, (1, 1), dtype=self.dtype,
+                          name=f"fea_fuse_{il}_{t}_0")(cat)
+            cat = nn.Conv(self.final_dim, (3, 3), padding="SAME", dtype=self.dtype,
+                          name=f"fea_fuse_{il}_{t}_1")(cat)
+            cat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-5, dtype=self.dtype,
+                               name=f"fea_fuse_{il}_{t}_bn")(cat)
+            cat = nn.gelu(cat)
+            task_fea[t] = nn.Conv(self.final_dim, (1, 1), dtype=self.dtype,
+                                  name=f"fea_fuse_{il}_{t}_2")(cat)
+
+        if self.use_ctr:
+            # Cross-Task Reweighting from prompt->prompt raw scores
+            # (taskprompter.py:477-486); requires prompt_len == 1.
+            pp = raw.raw_spa[:, :, :, :P]                  # (B,H,P,P)
+            new_fea = {}
+            for ti, t in enumerate(self.tasks):
+                wgt = pp[:, :, ti, :].astype(self.dtype)   # (B,H,T)
+                wgt = wgt.transpose(0, 2, 1)               # (B,T,H) as (B,spatial,chan)
+                wgt = nn.Dense(G, dtype=self.dtype, name=f"ctr_{il}_{t}_0")(wgt)
+                wgt = nn.gelu(wgt)
+                wgt = nn.Dense(1, dtype=self.dtype, name=f"ctr_{il}_{t}_1")(wgt)
+                wgt = wgt[:, :, 0]                         # (B,T)
+                new_fea[t] = sum(
+                    wgt[:, k][:, None, None, None] * task_fea[tk]
+                    for k, tk in enumerate(self.tasks))
+            task_fea = new_fea
+
+        return task_fea
+
+
+class TaskPrompterViT(nn.Module):
+    """Full TaskPrompter backbone returning per-task feature maps at 4x the
+    patch-grid resolution (reference TaskPrompter.forward,
+    taskprompter.py:392-422)."""
+    tasks: Sequence[str]
+    img_size: Tuple[int, int]
+    select_list: Sequence[int]
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    chan_nheads: int = 1
+    prompt_len: int = 1
+    tar_dim: int = 300              # p.embed_dim in configs
+    final_dim: int = 350            # p.final_embed_dim
+    use_ctr: bool = False
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        B = x.shape[0]
+        T = len(self.tasks)
+        tokens, (gh, gw) = PatchEmbed(self.patch_size, self.embed_dim,
+                                      self.dtype, name="patch_embed")(x)
+        N = gh * gw
+        pos_embed = self.param("pos_embed", trunc_normal(0.02),
+                               (1, N + 1, self.embed_dim))
+        tokens = tokens + pos_embed[:, 1:].astype(tokens.dtype)
+
+        task_prompts = self.param("task_prompts", trunc_normal(std=1.0, mean=1.0),
+                                  (T * self.prompt_len, self.embed_dim))
+        prompts = jnp.broadcast_to(task_prompts.astype(tokens.dtype)[None],
+                                   (B, T * self.prompt_len, self.embed_dim))
+
+        nh = int(round(self.chan_nheads ** 0.5))
+        chan_windows = (nh, max(self.chan_nheads // max(nh, 1), 1))
+        tap_set = set(self.select_list)
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+               for i in range(self.depth)]
+
+        task_fea: Dict[str, jax.Array] = {t: 0.0 for t in self.tasks}
+        il = 0
+        for i in range(self.depth):
+            # the final tap (after the closing norm) reuses the LAST block's
+            # raw scores, so the last block always computes them
+            is_tap = (i + 1) in tap_set
+            need = is_tap or (i == self.depth - 1)
+            tokens, prompts, raw = PromptedBlock(
+                self.num_heads, chan_windows, (gh, gw), self.mlp_ratio, self.qkv_bias,
+                dpr[i], self.dtype, name=f"blocks_{i}")(
+                    tokens, prompts, need_taps=need, deterministic=not train)
+            if is_tap:
+                x_map = tokens.reshape(B, gh, gw, self.embed_dim)
+                fea = TaskFeatureDecode(
+                    self.tasks, self.num_heads, self.prompt_len, chan_windows,
+                    self.tar_dim, self.final_dim, self.use_ctr, il,
+                    self.dtype, name=f"decode_{il}")(x_map, raw, train=train)
+                for t in self.tasks:
+                    task_fea[t] = task_fea[t] + fea[t]
+                il += 1
+
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        # final-layer tap reuses the last block's raw scores
+        # (taskprompter.py:416-417)
+        x_map = tokens.reshape(B, gh, gw, self.embed_dim)
+        fea = TaskFeatureDecode(
+            self.tasks, self.num_heads, self.prompt_len, chan_windows,
+            self.tar_dim, self.final_dim, self.use_ctr, il,
+            self.dtype, name=f"decode_{il}")(x_map, raw, train=train)
+
+        out = {}
+        for t in self.tasks:
+            f = task_fea[t] + fea[t]
+            f = jax.image.resize(f, (B, 4 * gh, 4 * gw, f.shape[-1]),
+                                 method="linear")
+            out[t] = f
+        return out
+
+
+TASKPROMPTER_VIT_SPECS = {
+    "TaskPrompter_vitL": dict(patch_size=16, embed_dim=1024, depth=24,
+                              num_heads=16, select_list=(6, 12, 18)),
+    "TaskPrompter_vitB": dict(patch_size=16, embed_dim=768, depth=12,
+                              num_heads=12, select_list=(3, 6, 9)),
+    "TaskPrompter_vitT": dict(patch_size=16, embed_dim=64, depth=4,
+                              num_heads=4, select_list=(1, 2, 3)),
+}

@@ -1,0 +1,128 @@
+"""Top-level model wrappers: backbone -> decoder -> per-task heads.
+
+Equivalents of InvPT/models/transformer_net.py:13-38 (TransformerNet) and
+TaskPrompter/models/taskprompter_wrapper.py:9-40 (TaskPrompterWrapper).
+Outputs are NHWC dicts keyed by task, upsampled to the input (or
+``dd_label_map_size``) resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtt_tpu.models.heads import HEADS
+from mtt_tpu.models.invpt import InvPTDecoder
+from mtt_tpu.models.layers import interpolate
+from mtt_tpu.models.taskprompter import TASKPROMPTER_VIT_SPECS, TaskPrompterViT
+from mtt_tpu.models.vit import VIT_SPECS, VisionTransformer
+
+
+class TransformerNet(nn.Module):
+    """InvPT: ViT backbone + InvPT decoder + 1x1-conv heads."""
+    tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    backbone_name: str = "vitL"
+    head_name: str = "mlp"
+    embed_dim: int = 512
+    pred_out: int = 64
+    mtt_downsample: int = 2
+    drop_path_rate: float = 0.15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        img_size = x.shape[1:3]
+        spec = VIT_SPECS[self.backbone_name]
+        backbone = VisionTransformer(
+            img_size=img_size, drop_path_rate=self.drop_path_rate,
+            dtype=self.dtype, name="backbone", **spec)
+        _, taps = backbone(x, deterministic=not train)
+        grid = (img_size[0] // spec["patch_size"], img_size[1] // spec["patch_size"])
+
+        decoder = InvPTDecoder(
+            tasks=tuple(self.tasks), num_outputs=dict(self.num_outputs),
+            embed_dim=self.embed_dim, pred_out=self.pred_out,
+            backbone_dim=spec["embed_dim"], mtt_downsample=self.mtt_downsample,
+            dtype=self.dtype, name="decoder")
+        task_features, inter_preds = decoder(taps, grid, train=train)
+
+        head_cls = HEADS[self.head_name]
+        out = {}
+        for t in self.tasks:
+            logits = head_cls(self.num_outputs[t], dtype=self.dtype,
+                              name=f"head_{t}")(task_features[t], train=train)
+            out[t] = interpolate(logits, img_size, "bilinear")
+        out["inter_preds"] = {
+            t: interpolate(v, img_size, "bilinear") for t, v in inter_preds.items()}
+        return out
+
+
+class TaskPrompterNet(nn.Module):
+    """TaskPrompter: prompted ViT backbone + conv heads."""
+    tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    backbone_name: str = "TaskPrompter_vitB"
+    head_name: str = "conv"
+    tar_dim: int = 300
+    final_dim: int = 350
+    prompt_len: int = 1
+    chan_nheads: int = 1
+    use_ctr: bool = True
+    target_size: Optional[Tuple[int, int]] = None
+    drop_path_rate: float = 0.15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        img_size = x.shape[1:3]
+        target_size = self.target_size or img_size
+        spec = TASKPROMPTER_VIT_SPECS[self.backbone_name]
+        backbone = TaskPrompterViT(
+            tasks=tuple(self.tasks), img_size=img_size,
+            chan_nheads=self.chan_nheads, prompt_len=self.prompt_len,
+            tar_dim=self.tar_dim, final_dim=self.final_dim,
+            use_ctr=self.use_ctr, drop_path_rate=self.drop_path_rate,
+            dtype=self.dtype, name="backbone", **spec)
+        task_features = backbone(x, train=train)
+
+        head_cls = HEADS[self.head_name]
+        out = {}
+        for t in self.tasks:
+            if t == "3ddet":
+                # detection head consumes the raw multi-scale features;
+                # wired in the Swin/Cityscapes pipeline.
+                out[t] = task_features[t]
+                continue
+            logits = head_cls(self.num_outputs[t], dtype=self.dtype,
+                              name=f"head_{t}")(task_features[t], train=train)
+            out[t] = interpolate(logits, target_size, "bilinear")
+        return out
+
+
+def build_model(p, dtype=jnp.float32):
+    """Factory: config -> Flax module (reference get_model,
+    InvPT/utils/common_config.py:39-51 / TaskPrompter common_config.py)."""
+    tasks = tuple(p.TASKS.NAMES)
+    num_outputs = {t: p.TASKS.NUM_OUTPUT[t] for t in tasks}
+    if p["model"] == "TransformerNet":
+        return TransformerNet(
+            tasks=tasks, num_outputs=num_outputs,
+            backbone_name=p["backbone"], head_name=p["head"],
+            embed_dim=p["embed_dim"], pred_out=p["PRED_OUT_NUM_CONSTANT"],
+            mtt_downsample=p["mtt_resolution_downsample_rate"], dtype=dtype)
+    if p["model"] == "TaskPrompter":
+        if "swin" in p["backbone"].lower():
+            from mtt_tpu.models.taskprompter_swin import build_taskprompter_swin
+            return build_taskprompter_swin(p, dtype=dtype)
+        return TaskPrompterNet(
+            tasks=tasks, num_outputs=num_outputs,
+            backbone_name=p["backbone"], head_name=p["head"],
+            tar_dim=p["embed_dim"], final_dim=p["final_embed_dim"],
+            prompt_len=p["prompt_len"], chan_nheads=p["chan_nheads"],
+            use_ctr=p.get("use_ctr", False),
+            target_size=tuple(p["dd_label_map_size"]) if "dd_label_map_size" in p else None,
+            dtype=dtype)
+    raise NotImplementedError(f"Unknown model {p['model']}")

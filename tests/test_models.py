@@ -1,0 +1,85 @@
+"""Shape/forward tests for the model families at tiny dimensions."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+TASKS4 = ("semseg", "depth", "edge", "normals")
+NUM_OUT = {"semseg": 5, "depth": 1, "edge": 1, "normals": 3}
+
+
+def test_vit_backbone_taps():
+    from mtt_tpu.models.vit import build_vit
+    m = build_vit("vitT", (64, 64))
+    x = jnp.zeros((2, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    final, taps = m.apply(params, x)
+    assert final.shape == (2, 16, 64)
+    assert len(taps) == 4
+    for t in taps:
+        assert t.shape == (2, 16, 64)
+
+
+def test_invpt_decoder_shapes():
+    from mtt_tpu.models.invpt import InvPTDecoder
+    dec = InvPTDecoder(tasks=TASKS4, num_outputs=NUM_OUT, embed_dim=32,
+                       pred_out=16, backbone_dim=64, mtt_downsample=2)
+    taps = [jnp.ones((2, 64, 64)) for _ in range(4)]  # grid 8x8, dim 64
+    variables = dec.init(jax.random.PRNGKey(0), taps, (8, 8))
+    out, inter = dec.apply(variables, taps, (8, 8))
+    # h0 = 4 -> final 32x32, channel D = 48
+    for t in TASKS4:
+        assert out[t].shape == (2, 32, 32, 48)
+        assert inter[t].shape == (2, 4, 4, NUM_OUT[t])
+
+
+def test_invpt_decoder_train_mode_updates_bn():
+    from mtt_tpu.models.invpt import InvPTDecoder
+    dec = InvPTDecoder(tasks=("semseg", "depth"), num_outputs=NUM_OUT,
+                       embed_dim=32, pred_out=16, backbone_dim=64)
+    taps = [jnp.ones((1, 16, 64)) for _ in range(4)]
+    variables = dec.init(jax.random.PRNGKey(0), taps, (4, 4))
+    (out, inter), mutated = dec.apply(
+        variables, taps, (4, 4), train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "batch_stats" in mutated
+
+
+def test_transformer_net_end_to_end():
+    from mtt_tpu.models.wrappers import TransformerNet
+    m = TransformerNet(tasks=TASKS4, num_outputs=NUM_OUT, backbone_name="vitT",
+                       embed_dim=32, pred_out=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    for t in TASKS4:
+        assert out[t].shape == (1, 64, 64, NUM_OUT[t])
+        assert out["inter_preds"][t].shape == (1, 64, 64, NUM_OUT[t])
+
+
+@pytest.mark.parametrize("use_ctr,chan_nheads", [(True, 1), (False, 4)])
+def test_taskprompter_net(use_ctr, chan_nheads):
+    from mtt_tpu.models.wrappers import TaskPrompterNet
+    m = TaskPrompterNet(tasks=TASKS4, num_outputs=NUM_OUT,
+                        backbone_name="TaskPrompter_vitT", tar_dim=24,
+                        final_dim=28, use_ctr=use_ctr, chan_nheads=chan_nheads)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    for t in TASKS4:
+        assert out[t].shape == (1, 64, 64, NUM_OUT[t])
+
+
+def test_taskprompter_prompts_affect_output():
+    """Prompts must influence patch tokens through the joint attention."""
+    from mtt_tpu.models.taskprompter import TaskPrompterViT
+    m = TaskPrompterViT(tasks=("semseg", "depth"), img_size=(32, 32),
+                        select_list=(1, 2, 3), patch_size=16, embed_dim=32,
+                        depth=4, num_heads=4, tar_dim=16, final_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out1 = m.apply(variables, x)
+    pert = jax.tree.map(lambda a: a, variables)
+    pert["params"]["task_prompts"] = variables["params"]["task_prompts"] + 1.0
+    out2 = m.apply(pert, x)
+    assert float(jnp.abs(out1["semseg"] - out2["semseg"]).max()) > 1e-6
