@@ -1,0 +1,101 @@
+"""3D box geometry in pure jnp (camera-frame boxes, Cityscapes-3D codes).
+
+Replaces the reference's mmdet3d/pyquaternion-based helpers
+(TaskPrompter/detection_toolbox/det_tools.py:13-82,480-674 and
+box3dImageTransform.py): period limiting, BEV extraction, image<->camera
+unprojection, distance2bbox, Euler/quaternion conversion and 3D box corner
+computation — all fixed-shape and jit-safe.
+
+Box code (bbox_code_size=9): [x, y, z, l, w, h, rot0, rot1, yaw] with the
+BEV footprint (x, z, w, l, yaw) (det_tools.py:76-82).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def limit_period(val, offset: float = 0.5, period: float = np.pi):
+    """Limit val into [-offset*period, (1-offset)*period) (det_tools.py:13)."""
+    return val - jnp.floor(val / period + offset) * period
+
+
+def bbox_bev(boxes):
+    """(N,9) camera boxes -> (N,5) BEV [cx, cz, w, l, yaw]
+    (det_tools.py:76-82: columns [0, 2, 4, 3, 8])."""
+    return jnp.stack([boxes[:, 0], boxes[:, 2], boxes[:, 4], boxes[:, 3],
+                      boxes[:, 8]], axis=-1)
+
+
+def xywhr_to_corners(bev):
+    """(N,5) [cx, cy, w, h, yaw] -> (N,4,2) corner points."""
+    c, s = jnp.cos(bev[:, 4]), jnp.sin(bev[:, 4])
+    hw, hh = bev[:, 2] / 2, bev[:, 3] / 2
+    local = jnp.stack([
+        jnp.stack([-hw, -hh], -1), jnp.stack([hw, -hh], -1),
+        jnp.stack([hw, hh], -1), jnp.stack([-hw, hh], -1)], axis=1)  # (N,4,2)
+    rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=1)
+    return jnp.einsum("nij,nvj->nvi", rot, local) + bev[:, None, :2]
+
+
+def distance2bbox(points, distance, max_shape=None):
+    """(l, t, r, b) distances -> xyxy boxes (det_tools.py:480-531)."""
+    x1 = points[..., 0] - distance[..., 0]
+    y1 = points[..., 1] - distance[..., 1]
+    x2 = points[..., 0] + distance[..., 2]
+    y2 = points[..., 1] + distance[..., 3]
+    if max_shape is not None:
+        x1 = jnp.clip(x1, 0, max_shape[1])
+        y1 = jnp.clip(y1, 0, max_shape[0])
+        x2 = jnp.clip(x2, 0, max_shape[1])
+        y2 = jnp.clip(y2, 0, max_shape[0])
+    return jnp.stack([x1, y1, x2, y2], -1)
+
+
+def points_cam2img(points_3d, K):
+    """Camera-frame 3D points -> pixel coords (det_tools.py:577-616)."""
+    pts = points_3d @ K.T
+    return pts[..., :2] / jnp.maximum(pts[..., 2:3], 1e-6)
+
+
+def points_img2cam(points, K):
+    """(u, v, depth) -> camera-frame 3D (det_tools.py:618-648)."""
+    Kp = jnp.eye(4, dtype=points.dtype).at[:K.shape[0], :K.shape[1]].set(K)
+    inv = jnp.linalg.inv(Kp).T
+    unnorm = jnp.concatenate([points[:, :2] * points[:, 2:3], points[:, 2:3],
+                              jnp.ones_like(points[:, :1])], axis=1)
+    return (unnorm @ inv)[:, :3]
+
+
+def euler_to_quaternion(yaw, pitch, roll):
+    """ZYX-convention Euler -> (w, x, y, z) quaternion (det_tools.py:221)."""
+    cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
+    cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
+    cr, sr = jnp.cos(roll / 2), jnp.sin(roll / 2)
+    w = cr * cp * cy + sr * sp * sy
+    x = sr * cp * cy - cr * sp * sy
+    y = cr * sp * cy + sr * cp * sy
+    z = cr * cp * sy - sr * sp * cy
+    return jnp.stack([w, x, y, z], -1)
+
+
+def corners_3d(boxes):
+    """(N,9) camera boxes -> (N,8,3) corners; rotation applied as
+    R = Rz(rot1) @ Rx(rot0) @ Ry(yaw) approximation of the Cityscapes S-frame
+    composition; used for wireframe rendering and consistency checks."""
+    l, w, h = boxes[:, 3], boxes[:, 4], boxes[:, 5]
+    signs = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                         for sz in (-1, 1)], jnp.float32)  # (8,3)
+    local = signs[None] * jnp.stack([w, h, l], -1)[:, None, :] / 2.0
+    yaw = boxes[:, 8]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zeros, ones = jnp.zeros_like(c), jnp.ones_like(c)
+    # rotation about the camera y-axis (gravity axis in cam frame)
+    R = jnp.stack([
+        jnp.stack([c, zeros, s], -1),
+        jnp.stack([zeros, ones, zeros], -1),
+        jnp.stack([-s, zeros, c], -1)], axis=1)
+    pts = jnp.einsum("nij,nvj->nvi", R, local)
+    return pts + boxes[:, None, :3]

@@ -77,17 +77,13 @@ class PatchEmbed(nn.Module):
 
 
 def dot_product_attention(q, k, v, scale: Optional[float] = None):
-    """Plain softmax attention over (B, N, H, D) tensors, fp32 softmax.
+    """Softmax attention over (B, N, H, D) tensors, fp32 softmax.
 
-    Kept as a seam so the Pallas flash kernel (mtt_tpu.kernels) can be swapped
-    in for long sequences; XLA already fuses this form well at ViT lengths.
+    Dispatches to the fused Pallas kernel on TPU (mtt_tpu.kernels.attention)
+    and to a fused XLA form elsewhere.
     """
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    from mtt_tpu.kernels.attention import fused_attention
+    return fused_attention(q, k, v, scale=scale)
 
 
 class Attention(nn.Module):

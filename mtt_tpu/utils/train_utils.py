@@ -1,0 +1,220 @@
+"""Training / evaluation engine.
+
+Equivalent of the reference loops (InvPT/utils/train_utils.py:21-108,
+test_utils.py:12-42) re-designed TPU-first:
+
+  * ONE jitted, donated train step: forward (train-mode BN), multi-task
+    weighted loss, grads, optimizer update. Under a ``data`` mesh the batch
+    is sharded and gradient averaging is implicit in GSPMD — no DDP.
+  * ONE jitted eval step: forward (running-stat BN), per-task
+    post-processing, metric-meter state update — metrics accumulate on
+    device; only final scalars reach the host.
+  * Checkpoint/resume via orbax: {params, batch_stats, opt_state, step}
+    (reference keeps {model, optimizer, scheduler, epoch, iter_count} in a
+    single .pth.tar, main.py:109-135).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from mtt_tpu.evaluation.meters import PerformanceMeter
+from mtt_tpu.losses.loss_schemes import build_criterion
+from mtt_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from mtt_tpu.utils.optim import build_optimizer
+from mtt_tpu.utils.postprocess import get_output
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, p, rng, sample_batch) -> tuple:
+    # jit the init: one compiled program instead of thousands of individually
+    # dispatched host->TPU ops (critical through remote-compile tunnels)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, sample_batch["image"], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx, sched = build_optimizer(p)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params))
+    return state, tx, sched
+
+
+def make_train_step(model, criterion, tx, tasks):
+    """Returns a jit-able train step: (state, batch, rng) -> (state, losses)."""
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            losses = criterion(out, batch)
+            return losses["total"], (losses, mutated)
+
+        (_, (losses, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=mutated.get("batch_stats", {}),
+                                  opt_state=new_opt)
+        return new_state, losses
+
+    return step_fn
+
+
+def make_eval_step(model, meter: PerformanceMeter, tasks):
+    """(state, batch, meter_states) -> (outputs, new_meter_states)."""
+
+    def step_fn(state: TrainState, batch, meter_states):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        processed = {t: get_output(out[t], t) for t in meter.tasks}
+        new_states = meter.update_states(meter_states, processed, batch)
+        return processed, new_states
+
+    return step_fn
+
+
+class Trainer:
+    """End-to-end training driver (reference train_phase/test_phase)."""
+
+    def __init__(self, p, model, mesh=None, log_fn=print):
+        self.p = p
+        self.model = model
+        self.tasks = tuple(p.TASKS.NAMES)
+        self.criterion = build_criterion(p)
+        self.mesh = mesh or make_mesh()
+        self.data_sharding = batch_sharding(self.mesh)
+        self.log = log_fn
+        self.meter = PerformanceMeter(p, self.tasks)
+        self._train_step = None
+        self._eval_step = None
+        self.tx = None
+        self.sched = None
+
+    def init_state(self, sample_batch, seed: int = 0):
+        state, self.tx, self.sched = create_train_state(
+            self.model, self.p, jax.random.PRNGKey(seed), sample_batch)
+        # replicate params/opt over the mesh
+        rep = replicated(self.mesh)
+        state = jax.device_put(state, rep)
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.criterion, self.tx, self.tasks),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(
+            make_eval_step(self.model, self.meter, self.tasks))
+        return state
+
+    @staticmethod
+    def _arrays_only(batch):
+        """Drop host-side entries (meta strings, ragged lists) before jit."""
+        import numpy as _np
+        return {k: v for k, v in batch.items()
+                if isinstance(v, (jnp.ndarray, _np.ndarray)) or (
+                    isinstance(v, dict) and k != "meta")}
+
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, self._arrays_only(batch), rng)
+
+    # --- checkpointing (orbax) -----------------------------------------
+    def save_checkpoint(self, state: TrainState, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(ckpt_dir)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, f"step_{int(state.step)}"),
+                   jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "latest.txt"), "w") as f:
+            f.write(str(int(state.step)))
+
+    def restore_checkpoint(self, state: TrainState, ckpt_dir: str) -> Optional[TrainState]:
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(ckpt_dir)
+        latest = os.path.join(path, "latest.txt")
+        if not os.path.isfile(latest):
+            return None
+        with open(latest) as f:
+            step = int(f.read().strip())
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.join(path, f"step_{step}"),
+                                 jax.device_get(state))
+        return jax.device_put(restored, replicated(self.mesh))
+
+
+def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
+                max_iter: Optional[int] = None, val_interval: Optional[int] = None,
+                rng=None, log_every: int = 50):
+    """Epoch-agnostic iteration loop (reference train_phase,
+    train_utils.py:21-80): forward/backward/step per batch, periodic eval +
+    checkpoint, loss logging."""
+    from mtt_tpu.data.loader import device_put_batch
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    max_iter = max_iter or int(p.get("max_iter", 40000))
+    val_interval = val_interval or int(p.get("val_interval", 1000))
+    it = int(state.step)
+    epoch = 0
+    history = []
+    t0 = time.time()
+    while it < max_iter:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            batch = device_put_batch(batch, trainer.data_sharding)
+            state, losses = trainer.train_step(state, batch, rng)
+            it += 1
+            if it % log_every == 0:
+                host = {k: float(v) for k, v in losses.items()}
+                rate = log_every * batch["image"].shape[0] / (time.time() - t0)
+                t0 = time.time()
+                trainer.log(f"iter {it} total {host['total']:.4f} "
+                            f"({rate:.2f} imgs/s) " +
+                            " ".join(f"{k}={v:.4f}" for k, v in host.items()
+                                     if k != "total"))
+                history.append({"iter": it, **host})
+            if it % val_interval == 0 or it >= max_iter:
+                if val_loader is not None:
+                    scores = test_phase(p, trainer, state, val_loader)
+                    trainer.log(f"eval@{it}: {json.dumps(scores)}")
+                    with open(os.path.join(p["save_dir"],
+                                           f"results_iter{it}.json"), "w") as f:
+                        json.dump(scores, f)
+                trainer.save_checkpoint(state, p["checkpoint"])
+                if it >= max_iter:
+                    return state, history
+        epoch += 1
+    return state, history
+
+
+def test_phase(p, trainer: Trainer, state, val_loader) -> Dict:
+    """Full-validation metric pass (reference test_phase,
+    test_utils.py:12-42), with on-device meter accumulation."""
+    from mtt_tpu.data.loader import device_put_batch
+
+    trainer.meter.reset()
+    states = trainer.meter.states
+    for batch in val_loader:
+        batch = device_put_batch(batch, trainer.data_sharding)
+        _, states = trainer._eval_step(state, trainer._arrays_only(batch), states)
+    trainer.meter.states = jax.device_get(states)
+    return trainer.meter.get_score(verbose=False)

@@ -1,0 +1,92 @@
+"""Data pipeline tests: transforms semantics + loader batching."""
+
+import numpy as np
+
+from mtt_tpu.data.loader import MultiTaskLoader, ShardedSampler, collate
+from mtt_tpu.data.synthetic import SyntheticMT
+from mtt_tpu.data.transforms import (TrainTransforms, ValTransforms,
+                                     add_ignore_regions, pad_image,
+                                     random_hflip, random_scaling)
+
+TASKS = ("semseg", "depth", "edge", "normals")
+NUM_OUT = {"semseg": 5, "depth": 1, "edge": 1, "normals": 3}
+
+
+def _sample(h=64, w=48):
+    ds = SyntheticMT(TASKS, NUM_OUT, size=(h, w), length=4)
+    return ds[0]
+
+
+def test_random_scaling_depth_correction():
+    s = _sample()
+    d0 = s["depth"].copy()
+    rng = np.random.default_rng(3)
+    out = random_scaling({k: v for k, v in s.items()}, rng, (2.0, 2.0))
+    assert out["image"].shape[0] == 128
+    # depth divided by scale factor 2
+    assert np.allclose(out["depth"].mean(), (d0 / 2.0).mean(), rtol=0.05)
+
+
+def test_hflip_negates_normals_x():
+    s = _sample()
+    n0 = s["normals"].copy()
+    out = random_hflip({k: v for k, v in s.items()}, np.random.default_rng(0), p=1.0)
+    assert np.allclose(out["normals"][:, :, 0], -n0[:, ::-1, 0])
+    assert np.allclose(out["normals"][:, :, 1], n0[:, ::-1, 1])
+
+
+def test_pad_fill_values():
+    s = _sample(32, 32)
+    out = pad_image({k: v for k, v in s.items()}, (64, 64))
+    assert out["image"].shape == (64, 64, 3)
+    assert out["semseg"][0, 0, 0] == 255
+    assert out["depth"][0, 0, 0] == 0
+
+
+def test_add_ignore_regions():
+    s = _sample(32, 32)
+    s["depth"][:4] = 0.0
+    s["normals"][:4] = 0.0
+    out = add_ignore_regions(s, depth_ignore=255.0)
+    assert (out["depth"][:4] == 255).all()
+    assert (out["normals"][:4] == 255).all()
+
+
+def test_train_transforms_end_to_end():
+    tf = TrainTransforms((64, 64))
+    s = _sample(96, 80)
+    out = tf(s, np.random.default_rng(0))
+    for k in ("image", "semseg", "depth", "edge", "normals"):
+        assert out[k].shape[:2] == (64, 64), k
+    assert out["image"].dtype == np.float32
+
+
+def test_sharded_sampler_disjoint_and_epoch_shuffle():
+    s0 = ShardedSampler(100, 4, num_shards=2, shard_index=0, seed=1)
+    s1 = ShardedSampler(100, 4, num_shards=2, shard_index=1, seed=1)
+    i0 = {i for b in s0 for i in b}
+    i1 = {i for b in s1 for i in b}
+    assert not (i0 & i1)
+    assert len(i0) == len(i1) == 48  # 50 per shard, drop to multiple of 4
+    first = list(iter(s0))
+    s0.set_epoch(1)
+    assert list(iter(s0)) != first
+
+
+def test_loader_fixed_shapes():
+    ds = SyntheticMT(TASKS, NUM_OUT, size=(64, 64), length=10,
+                     transform=ValTransforms((64, 64)))
+    loader = MultiTaskLoader(ds, batch_size=2, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 5
+    b = batches[0]
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["semseg"].shape == (2, 64, 64, 1)
+    assert isinstance(b["meta"], list) and len(b["meta"]) == 2
+
+
+def test_collate_meta_list():
+    out = collate([{"image": np.zeros((4, 4, 3)), "meta": {"a": 1}},
+                   {"image": np.ones((4, 4, 3)), "meta": {"a": 2}}])
+    assert out["image"].shape == (2, 4, 4, 3)
+    assert out["meta"] == [{"a": 1}, {"a": 2}]

@@ -1,0 +1,128 @@
+"""Training-engine tests: jitted train step under an 8-device DP mesh,
+loss decrease on synthetic overfit, checkpoint roundtrip, config parsing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtt_tpu.config.config import Config
+
+
+def tiny_config(tmp_path=None):
+    tasks = ("semseg", "depth", "edge", "normals")
+    p = Config({
+        "train_db_name": "NYUD", "val_db_name": "NYUD",
+        "ignore_index": 255, "intermediate_supervision": False,
+        "TASKS": Config(NAMES=list(tasks),
+                        NUM_OUTPUT=Config({"semseg": 5, "depth": 1,
+                                           "edge": 1, "normals": 3})),
+        "loss_kwargs": {"loss_weights": {t: 1.0 for t in tasks}},
+        "optimizer": "adam", "optimizer_kwargs": {"lr": 1e-3},
+        "scheduler": "poly", "max_iter": 200, "edge_w": 0.95,
+        "trBatch": 8, "valBatch": 8, "nworkers": 2,
+        "TRAIN": Config(SCALE=(64, 64)), "TEST": Config(SCALE=(64, 64)),
+    })
+    return p
+
+
+def _batch(B=8, h=64, w=64):
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.normal(size=(B, h, w, 3)).astype(np.float32),
+        "semseg": rng.integers(0, 5, size=(B, h, w, 1)).astype(np.float32),
+        "depth": np.abs(rng.normal(size=(B, h, w, 1))).astype(np.float32) + 0.5,
+        "edge": (rng.random((B, h, w, 1)) > 0.9).astype(np.float32),
+        "normals": rng.normal(size=(B, h, w, 3)).astype(np.float32),
+    }
+
+
+def _model(p):
+    from mtt_tpu.models.wrappers import TaskPrompterNet
+    return TaskPrompterNet(
+        tasks=tuple(p.TASKS.NAMES),
+        num_outputs=dict(p.TASKS.NUM_OUTPUT),
+        backbone_name="TaskPrompter_vitT", tar_dim=24, final_dim=28,
+        use_ctr=False)
+
+
+def test_train_step_decreases_loss_dp8():
+    from mtt_tpu.parallel.mesh import make_mesh
+    from mtt_tpu.utils.train_utils import Trainer
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    p = tiny_config()
+    trainer = Trainer(p, _model(p), mesh=make_mesh(8))
+    batch = _batch()
+    state = trainer.init_state(batch)
+    dev = {k: jax.device_put(v, trainer.data_sharding) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    state, l0 = trainer.train_step(state, dev, rng)  # state is donated
+    l0 = jax.device_get(l0)
+    for _ in range(8):
+        state, losses = trainer.train_step(state, dev, rng)
+    assert float(losses["total"]) < float(l0["total"])
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mtt_tpu.utils.train_utils import Trainer
+
+    p = tiny_config()
+    trainer = Trainer(p, _model(p))
+    batch = _batch(B=2)
+    state = trainer.init_state(batch)
+    dev = {k: jax.device_put(v) for k, v in batch.items()}
+    state, _ = trainer.train_step(state, dev, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(state, ckpt)
+    restored = trainer.restore_checkpoint(state, ckpt)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+    leaves0 = jax.tree.leaves(state.params)
+    leaves1 = jax.tree.leaves(restored.params)
+    assert all(np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+def test_poly_schedule():
+    from mtt_tpu.utils.optim import poly_schedule
+    s = poly_schedule(1.0, 100)
+    assert abs(s(0) - 1.0) < 1e-6
+    assert s(50) == pytest.approx((1 - 0.5) ** 0.9)
+    assert s(100) == pytest.approx(0.0)
+
+
+def test_create_config_from_yaml(tmp_path):
+    from mtt_tpu.config import create_config
+    p = create_config("configs/pascal/taskprompter_vitBp16.yml",
+                      {"run_mode": "infer"})
+    # reference parse order: semseg, depth, human_parts, sal, normals, edge
+    # (InvPT/utils/config.py:30-87)
+    assert p.TASKS.NAMES == ["semseg", "human_parts", "sal", "normals", "edge"]
+    assert p.TASKS.NUM_OUTPUT["semseg"] == 21
+    assert p.TRAIN.SCALE == (512, 512)
+    assert p["edge_w"] == 0.95
+    p2 = create_config("configs/nyud/invpt_vitLp16.yml", {"run_mode": "infer"})
+    assert p2.TASKS.NUM_OUTPUT["semseg"] == 40
+    assert p2.TRAIN.SCALE == (448, 576)
+    assert p2["intermediate_supervision"] is True
+
+
+def test_eval_step_and_meters():
+    from mtt_tpu.utils.train_utils import Trainer, test_phase
+    from mtt_tpu.data.synthetic import SyntheticMT
+    from mtt_tpu.data.transforms import ValTransforms
+    from mtt_tpu.data.loader import MultiTaskLoader
+
+    p = tiny_config()
+    trainer = Trainer(p, _model(p))
+    ds = SyntheticMT(p.TASKS.NAMES, dict(p.TASKS.NUM_OUTPUT), size=(64, 64),
+                     length=4, transform=ValTransforms((64, 64)))
+    loader = MultiTaskLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    state = trainer.init_state(_batch(B=2))
+    scores = test_phase(p, trainer, state, loader)
+    assert set(scores) == set(p.TASKS.NAMES)
+    assert 0.0 <= scores["semseg"]["mIoU"] <= 1.0
+    assert np.isfinite(scores["depth"]["rmse"])
