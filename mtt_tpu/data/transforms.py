@@ -41,8 +41,13 @@ PAD_FILL = {"edge": 255, "human_parts": 255, "semseg": 255, "depth": 0,
 _SKIP = ("meta",)
 
 
+def _is_map_key(k: str) -> bool:
+    # det_* entries are padded box arrays, not spatial maps
+    return k not in _SKIP and not k.startswith("det_")
+
+
 def _label_keys(sample):
-    return [k for k in sample if k not in _SKIP]
+    return [k for k in sample if _is_map_key(k)]
 
 
 def _ensure_3d(arr):
@@ -217,7 +222,7 @@ class TrainTransforms:
         self.cat_max_ratio = cat_max_ratio
 
     def __call__(self, sample: Dict, rng: np.random.Generator) -> Dict:
-        sample = {k: (v if k in _SKIP else _ensure_3d(np.asarray(v, np.float32)))
+        sample = {k: (_ensure_3d(np.asarray(v, np.float32)) if _is_map_key(k) else v)
                   for k, v in sample.items()}
         sample = random_scaling(sample, rng, self.scale_factors)
         sample = random_crop(sample, rng, self.size, self.cat_max_ratio)
@@ -237,7 +242,7 @@ class ValTransforms:
         self.depth_ignore = depth_ignore
 
     def __call__(self, sample: Dict, rng=None) -> Dict:
-        sample = {k: (v if k in _SKIP else _ensure_3d(np.asarray(v, np.float32)))
+        sample = {k: (_ensure_3d(np.asarray(v, np.float32)) if _is_map_key(k) else v)
                   for k, v in sample.items()}
         sample = normalize_image(sample)
         sample = pad_image(sample, self.size)

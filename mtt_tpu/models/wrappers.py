@@ -102,6 +102,84 @@ class TaskPrompterNet(nn.Module):
         return out
 
 
+class TaskPrompterSwinNet(nn.Module):
+    """TaskPrompter-Swin + heads (+ FCOS3D detection head for 3ddet).
+
+    Equivalent of TaskPrompterWrapper for the Cityscapes-3D config
+    (taskprompter_wrapper.py:22-40): 2D heads upsampled to
+    ``dd_label_map_size``; the 3ddet head consumes the raw 4-scale list.
+    """
+    tasks: Sequence[str]
+    num_outputs: Dict[str, int]
+    head_name: str = "deconv"
+    tar_dim: int = 256
+    final_dim: int = 450
+    prompt_len: int = 1
+    chan_embed_dim: int = 256
+    img_ds_ratio: float = 1.0
+    target_size: Optional[Tuple[int, int]] = None
+    det_cfg: Optional[dict] = None
+    # Swin-B topology defaults (taskprompter_swin_base_patch4_window12_384)
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from mtt_tpu.models.taskprompter_swin import TaskPrompterSwin
+
+        img_size = x.shape[1:3]
+        target_size = self.target_size or img_size
+        backbone = TaskPrompterSwin(
+            tasks=tuple(self.tasks), img_size=img_size,
+            embed_dim=self.embed_dim, depths=self.depths,
+            num_heads=self.num_heads, window_size=self.window_size,
+            prompt_len=self.prompt_len, chan_embed_dim=self.chan_embed_dim,
+            tar_dim=self.tar_dim, final_dim=self.final_dim,
+            img_ds_ratio=self.img_ds_ratio, dtype=self.dtype, name="backbone")
+        task_features = backbone(x, train=train)
+
+        head_cls = HEADS[self.head_name]
+        out = {}
+        for t in self.tasks:
+            if t == "3ddet":
+                from mtt_tpu.detection.fcos3d_head import DetectionHead
+                out[t] = DetectionHead(det_cfg=self.det_cfg, dtype=self.dtype,
+                                       name="det_head")(task_features[t],
+                                                        train=train)
+                continue
+            logits = head_cls(self.num_outputs[t], dtype=self.dtype,
+                              name=f"head_{t}")(task_features[t], train=train)
+            out[t] = interpolate(logits, target_size, "bilinear")
+        return out
+
+
+def build_taskprompter_swin(p, dtype=jnp.float32):
+    import os
+    tasks = tuple(p.TASKS.NAMES)
+    num_outputs = {t: p.TASKS.NUM_OUTPUT[t] for t in tasks}
+    tiny = {}
+    if os.environ.get("MTT_DEBUG_TINY"):  # CI smoke: shrink the backbone
+        tiny = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                    window_size=4)
+        if "det_cfg" in p:
+            d = p.det_cfg
+            d.feat_channels, d.norm_groups = 16, 4
+            d.cls_branch, d.dir_branch = (16, 8), (16,)
+            d.reg_branch, d.centerness_branch = ((16,),) * 5, (16,)
+            d.neck.out_channels = 16
+    return TaskPrompterSwinNet(
+        tasks=tasks, num_outputs=num_outputs, head_name=p["head"], **tiny,
+        tar_dim=p.get("level_embed_dim", 256),
+        final_dim=p["final_embed_dim"], prompt_len=p["prompt_len"],
+        chan_embed_dim=p.get("chan_embed_dim", 256),
+        img_ds_ratio=float(p.get("img_ds_ratio", 1.0)),
+        target_size=tuple(p["dd_label_map_size"]) if "dd_label_map_size" in p else None,
+        det_cfg=p.get("det_cfg"), dtype=dtype)
+
+
 def build_model(p, dtype=jnp.float32):
     """Factory: config -> Flax module (reference get_model,
     InvPT/utils/common_config.py:39-51 / TaskPrompter common_config.py)."""
@@ -115,7 +193,6 @@ def build_model(p, dtype=jnp.float32):
             mtt_downsample=p["mtt_resolution_downsample_rate"], dtype=dtype)
     if p["model"] == "TaskPrompter":
         if "swin" in p["backbone"].lower():
-            from mtt_tpu.models.taskprompter_swin import build_taskprompter_swin
             return build_taskprompter_swin(p, dtype=dtype)
         return TaskPrompterNet(
             tasks=tasks, num_outputs=num_outputs,

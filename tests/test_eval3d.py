@@ -1,0 +1,101 @@
+"""Cityscapes-3D evaluator tests: perfect predictions -> DS == 1; degraded
+predictions lower the right component."""
+
+import numpy as np
+import pytest
+
+from mtt_tpu.detection.eval3d import Box3dEvaluator
+
+
+def make_obj(label="car", center=(10.0, 2.0, 0.5), dims=(4.0, 1.8, 1.5),
+             yaw=0.3, box=(100, 200, 180, 260), score=None):
+    from scipy.spatial.transform import Rotation
+    q = Rotation.from_euler("ZYX", [yaw, 0.0, 0.0]).as_quat()  # x,y,z,w
+    o = {
+        "label": label,
+        "2d": {"modal": list(box), "amodal": list(box)},
+        "3d": {"center": list(center), "dimensions": list(dims),
+               "rotation": [q[3], q[0], q[1], q[2]]},
+    }
+    if score is not None:
+        o["score"] = score
+    return o
+
+
+def test_perfect_predictions_score_one():
+    ev = Box3dEvaluator(labels=("car",), num_conf=10)
+    for i in range(4):
+        gt = [make_obj(center=(10 + i, 2, 0.5)),
+              make_obj(center=(30 + i, -3, 0.6), box=(300, 210, 350, 250))]
+        pred = [dict(o, score=0.9) for o in gt]
+        ev.add_image(f"img{i}", gt, pred)
+    res = ev.evaluate()
+    assert res["AP"]["car"]["auc"] == pytest.approx(1.0, abs=1e-6)
+    assert res["Detection_Score"]["car"] == pytest.approx(1.0, abs=1e-3)
+    assert res["mDetection_Score"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_missing_predictions_reduce_ap():
+    ev = Box3dEvaluator(labels=("car",), num_conf=10)
+    for i in range(4):
+        gt = [make_obj(), make_obj(box=(300, 210, 350, 250))]
+        pred = [dict(gt[0], score=0.9)]  # only one of two found
+        ev.add_image(f"img{i}", gt, pred)
+    res = ev.evaluate()
+    assert res["AP"]["car"]["auc"] < 0.75
+
+
+def test_yaw_error_reduces_os_yaw_only():
+    # NOTE: the official AUC rule returns 0 unless >1 depth bins are
+    # populated (evalObjectDetection3d.py:714-719), so spread GT over two
+    ev = Box3dEvaluator(labels=("car",), num_conf=10)
+    for i in range(4):
+        far = (40, 2, 0.5)
+        gt = [make_obj(yaw=0.0),
+              make_obj(yaw=0.0, center=far, box=(300, 210, 350, 250))]
+        pred = [dict(make_obj(yaw=np.pi / 2), score=0.9),
+                dict(make_obj(yaw=np.pi / 2, center=far,
+                              box=(300, 210, 350, 250)), score=0.9)]
+        ev.add_image(f"img{i}", gt, pred)
+    res = ev.evaluate()
+    assert res["OS_Yaw"]["car"]["auc"] == pytest.approx(0.5, abs=0.05)
+    assert res["Size_Similarity"]["car"]["auc"] == pytest.approx(1.0, abs=1e-6)
+    assert res["AP"]["car"]["auc"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_center_error_reduces_center_dist():
+    ev = Box3dEvaluator(labels=("car",), num_conf=10)
+    gt = [make_obj(center=(10, 2, 0.5))]
+    pred = [dict(make_obj(center=(15, 2, 0.5)), score=0.9)]
+    ev.add_image("a", gt, pred)
+    ev.add_image("b", gt, [dict(make_obj(center=(10, 2, 0.5)), score=0.9)])
+    res = ev.evaluate()
+    # mean of (1 - 5/100) and (1 - 0) over the same depth bin... both at
+    # depth ~10.2 -> single bin -> auc==0 per the >1-bins rule; use two bins
+    ev2 = Box3dEvaluator(labels=("car",), num_conf=10)
+    ev2.add_image("a", [make_obj(center=(10, 2, 0.5))],
+                  [dict(make_obj(center=(15, 2, 0.5)), score=0.9)])
+    ev2.add_image("b", [make_obj(center=(40, 2, 0.5), box=(300, 210, 350, 250))],
+                  [dict(make_obj(center=(40, 2, 0.5), box=(300, 210, 350, 250)),
+                        score=0.9)])
+    r2 = ev2.evaluate()
+    assert r2["Center_Dist"]["car"]["auc"] == pytest.approx(
+        ((1 - 0.05) + 1.0) / 2, abs=1e-3)
+
+
+def test_export_roundtrip_v_frame():
+    """box S->V->S roundtrip through the exporter geometry."""
+    from mtt_tpu.detection.cs_geometry import (box_s_to_v, box_v_to_s,
+                                               euler_zxy_to_quat_s,
+                                               rotation_s_to_euler_zxy)
+    rng = np.random.default_rng(0)
+    ext = np.eye(4)[:3]  # identity extrinsics
+    ext[:3, 3] = [0.5, 0.1, 1.2]
+    c_s = np.array([2.0, 1.0, 20.0])
+    e = np.array([0.2, -0.1, 0.8])
+    q_s = euler_zxy_to_quat_s(e)
+    c_v, q_v = box_s_to_v(c_s, q_s, ext)
+    c_s2, q_s2 = box_v_to_s(c_v, q_v, ext)
+    np.testing.assert_allclose(c_s2, c_s, atol=1e-9)
+    e2 = rotation_s_to_euler_zxy(q_s2)
+    np.testing.assert_allclose(e2, e, atol=1e-6)
