@@ -36,9 +36,17 @@ from mtt_tpu.detection.cs_geometry import EVAL_LABELS
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N,4) x (M,4) xyxy IoU."""
+    """(N,4) x (M,4) xyxy IoU. Uses the native C++ library when built
+    (mtt_tpu/detection/iou3d_native.py)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
+    try:
+        from mtt_tpu.detection import iou3d_native as nat
+        if nat.available():
+            return nat.iou_matrix_2d(np.asarray(a, np.float64),
+                                     np.asarray(b, np.float64))
+    except Exception:
+        pass
     ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
     iy1 = np.maximum(a[:, None, 1], b[None, :, 1])
     ix2 = np.minimum(a[:, None, 2], b[None, :, 2])
