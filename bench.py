@@ -49,16 +49,20 @@ def main():
 
     @jax.jit
     def fwd(v, inp):
-        return model.apply(v, inp, train=False)
+        out = model.apply(v, inp, train=False)
+        # scalar checksum forces full materialisation; device_get of it is a
+        # reliable sync point even through remote-dispatch tunnels where
+        # block_until_ready can return early
+        return jnp.float32(sum(jnp.sum(o.astype(jnp.float32))
+                               for o in out.values()))
 
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
-    # timed steps
+    chk = float(jax.device_get(fwd(variables, x)))  # compile + warm-up
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
+    for i in range(steps):
+        chk = fwd(variables, x)
+    chk = float(jax.device_get(chk))
     dt = time.perf_counter() - t0
+    assert np.isfinite(chk)
     imgs_per_sec = steps * batch / dt
 
     print(json.dumps({

@@ -71,8 +71,12 @@ def main():
     val_loader = cc.get_test_dataloader(p, val_ds)
 
     trainer = Trainer(p, model)
+    t0 = time.time()
     sample = next(iter(val_loader))
+    print(f"[main] first val batch ready in {time.time() - t0:.1f}s")
+    t0 = time.time()
     state = trainer.init_state(sample, seed=args.seed)
+    print(f"[main] state initialised in {time.time() - t0:.1f}s")
 
     restored = trainer.restore_checkpoint(state, p["checkpoint"])
     if restored is not None:

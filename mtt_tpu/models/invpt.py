@@ -133,30 +133,31 @@ class CrossTaskAttention(nn.Module):
 
         Hn, D = self.num_heads, self.dim // self.num_heads
         Lq, Lk = q.shape[1], k.shape[1]
-        qh_ = q.reshape(B, Lq, Hn, D)
-        kh_ = k.reshape(B, Lk, Hn, D)
-        vh_ = v.reshape(B, Lk, Hn, D)
+        qh_ = q.reshape(B, Lq, Hn, D).transpose(0, 2, 1, 3)
+        kh_ = k.reshape(B, Lk, Hn, D).transpose(0, 2, 1, 3)
+        vh_ = v.reshape(B, Lk, Hn, D).transpose(0, 2, 1, 3)
 
         scale = self.dim ** -0.5  # full-dim scale, invpt.py:92
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qh_, kh_,
-                            preferred_element_type=jnp.float32) * scale
 
-        # attention message passing from the previous stage (invpt.py:207-230)
+        # attention message passing from the previous stage (invpt.py:207-230):
+        # the prev-stage scores are bilinearly upsampled 2x on each task's
+        # query grid, then fused with the current scores by a 1x1 conv over
+        # the stacked head axis — computed inside the fused Pallas kernel
+        # (mtt_tpu/kernels/invpt_attention.py) so raw scores and softmax
+        # probabilities never round-trip to HBM.
+        w = b = prev = None
         if message is not None:
             ph, pw = qh // 2, qw // 2  # previous stage query grid per task
             prev = message.reshape(B * Hn * T, ph, pw, Lk)
             prev = jax.image.resize(prev, (B * Hn * T, qh, qw, Lk), method="linear")
             prev = prev.reshape(B, Hn, T * qh * qw, Lk)
-            both = jnp.concatenate([scores, prev], axis=1)  # (B, 2Hn, Lq, Lk)
             w = self.param("fuse_attn_kernel", trunc_normal(0.02), (Hn, 2 * Hn))
             b = self.param("fuse_attn_bias", nn.initializers.zeros, (Hn,))
-            scores = jnp.einsum("hc,bclk->bhlk", w, both) + b[None, :, None, None]
 
-        new_message = scores  # (B, Hn, T*qh*qw, T*kh*kw); reshaped by caller
-
-        probs = jax.nn.softmax(scores, axis=-1).astype(vh_.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh_)
-        out = out.reshape(B, Lq, self.dim)
+        from mtt_tpu.kernels.invpt_attention import invpt_fused_attention
+        out, new_message = invpt_fused_attention(qh_, kh_, vh_, prev, w, b,
+                                                 scale)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         # upsample attention output back to block resolution (invpt.py:299-305)
