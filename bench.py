@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mtt_tpu.models.wrappers import TaskPrompterNet
 
     backbone = os.environ.get("MTT_BENCH_BACKBONE", "TaskPrompter_vitL")
@@ -65,8 +68,10 @@ def main():
     assert np.isfinite(chk)
     imgs_per_sec = steps * batch / dt
 
+    name = backbone.replace("TaskPrompter_", "ViT-").replace("vit", "")
     print(json.dumps({
-        "metric": "imgs/sec/chip (TaskPrompter-ViT-L PASCAL 5-task inference, bf16)",
+        "metric": f"imgs/sec/chip (TaskPrompter-{name} PASCAL 5-task "
+                  f"inference, bf16, batch {batch})",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / (TARGET_MULTIPLIER * A100_REF_IMGS_PER_SEC), 4),

@@ -60,6 +60,9 @@ def main():
     import cv2
     import jax
 
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mtt_tpu.config import create_config
     from mtt_tpu.models.wrappers import build_model
     from mtt_tpu.utils.postprocess import get_output

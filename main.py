@@ -29,6 +29,9 @@ def parse_args():
     ap.add_argument("--max_iter", type=int, default=None)
     ap.add_argument("--val_interval", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="compute dtype (params stay fp32)")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
     return ap.parse_args()
@@ -43,6 +46,9 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from mtt_tpu.config import create_config
     from mtt_tpu.models.wrappers import build_model
@@ -62,7 +68,8 @@ def main():
     print(f"[main] config {args.config_exp} tasks={p.TASKS.NAMES} "
           f"devices={len(jax.devices())} procs={jax.process_count()}")
 
-    model = build_model(p)
+    model = build_model(p, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                        else jnp.float32)
     train_tf, val_tf = cc.get_transformations(p)
     nshards, shard = data_shard_info()
     train_ds = cc.get_dataset(p, "train", train_tf, overfit=args.overfit)

@@ -129,7 +129,10 @@ def fused_attention(q, k, v, scale: Optional[float] = None,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os
+        impl = os.environ.get("MTT_ATTN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Nq, D)

@@ -176,5 +176,8 @@ def invpt_fused_attention(q, k, v, msg: Optional[jax.Array],
     Returns (attention output (B,H,Lq,D), fused scores / new message).
     """
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os
+        impl = os.environ.get("MTT_ATTN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _fused(q, k, v, msg, w, b, scale, impl)

@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+Remote-compile TPU environments pay minutes per program compile; the
+persistent cache makes every entry point (main.py, inference.py, bench.py,
+__graft_entry__) reuse compiled executables across processes.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None):
+    import jax
+
+    path = path or os.environ.get(
+        "MTT_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is best-effort
+        print(f"[cache] compilation cache disabled: {e}")

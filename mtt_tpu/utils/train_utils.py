@@ -176,12 +176,16 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
     it = int(state.step)
     epoch = 0
     history = []
+    profiler = StepProfiler()
+    save_tasks = ("edge",) if "edge" in p.TASKS.NAMES else None
     t0 = time.time()
     while it < max_iter:
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             batch = device_put_batch(batch, trainer.data_sharding)
+            profiler.maybe_start(it)
             state, losses = trainer.train_step(state, batch, rng)
+            profiler.maybe_stop(it)
             it += 1
             if it % log_every == 0:
                 host = {k: float(v) for k, v in losses.items()}
@@ -194,7 +198,8 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
                 history.append({"iter": it, **host})
             if it % val_interval == 0 or it >= max_iter:
                 if val_loader is not None:
-                    scores = test_phase(p, trainer, state, val_loader)
+                    scores = test_phase(p, trainer, state, val_loader,
+                                        save_tasks=save_tasks)
                     trainer.log(f"eval@{it}: {json.dumps(scores)}")
                     with open(os.path.join(p["save_dir"],
                                            f"results_iter{it}.json"), "w") as f:
@@ -206,15 +211,49 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
     return state, history
 
 
-def test_phase(p, trainer: Trainer, state, val_loader) -> Dict:
+def test_phase(p, trainer: Trainer, state, val_loader,
+               save_tasks: Optional[tuple] = None) -> Dict:
     """Full-validation metric pass (reference test_phase,
-    test_utils.py:12-42), with on-device meter accumulation."""
+    test_utils.py:12-42), with on-device meter accumulation.
+
+    ``save_tasks``: tasks whose post-processed predictions are written to
+    p['save_dir'] (the reference always saves edge PNGs for the external
+    SEISM odsF pipeline, evaluate_utils.py:68-106)."""
     from mtt_tpu.data.loader import device_put_batch
+    from mtt_tpu.evaluation.save_preds import save_task_predictions
 
     trainer.meter.reset()
     states = trainer.meter.states
     for batch in val_loader:
-        batch = device_put_batch(batch, trainer.data_sharding)
-        _, states = trainer._eval_step(state, trainer._arrays_only(batch), states)
+        dev = device_put_batch(batch, trainer.data_sharding)
+        processed, states = trainer._eval_step(
+            state, trainer._arrays_only(dev), states)
+        if save_tasks:
+            for t in save_tasks:
+                if t in processed and "meta" in batch:
+                    save_task_predictions(p["save_dir"], t,
+                                          np.asarray(jax.device_get(processed[t])),
+                                          batch["meta"])
     trainer.meter.states = jax.device_get(states)
     return trainer.meter.get_score(verbose=False)
+
+
+class StepProfiler:
+    """jax.profiler trace hook + per-step timing (the reference has none —
+    SURVEY.md §5 'tracing: none'; first-class here). Enable a device trace
+    with MTT_PROFILE_DIR=/path; view in TensorBoard/XProf."""
+
+    def __init__(self):
+        self.dir = os.environ.get("MTT_PROFILE_DIR")
+        self._active = False
+
+    def maybe_start(self, step: int, start_at: int = 10, steps: int = 5):
+        if self.dir and not self._active and step == start_at:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+            self._stop_at = step + steps
+
+    def maybe_stop(self, step: int):
+        if self._active and step >= self._stop_at:
+            jax.profiler.stop_trace()
+            self._active = False
