@@ -86,6 +86,11 @@ def main():
         if restored is not None:
             state = restored
             print(f"[inference] loaded checkpoint step {int(state.step)}")
+        else:
+            print(f"[inference] WARNING: no checkpoint found under "
+                  f"{args.ckpt_dir} — running with RANDOM weights")
+    else:
+        print("[inference] WARNING: --ckpt_dir not given — RANDOM weights")
 
     fwd = jax.jit(lambda s, x: model.apply(
         {"params": s.params, "batch_stats": s.batch_stats}, x, train=False))

@@ -97,6 +97,12 @@ def main():
         print(f"[main] training done in {time.time() - t0:.1f}s")
     else:
         scores = test_phase(p, trainer, state, val_loader)
+        if "3ddet" in p.TASKS.NAMES:
+            from mtt_tpu.detection.det_eval import evaluate_detection
+            det = evaluate_detection(p, trainer, state, val_loader,
+                                     save_dir=p["save_dir"])
+            scores["3ddet"] = {"mDetection_Score": det["mDetection_Score"],
+                               "mAP": det["mAP"]}
         print(json.dumps(scores, indent=2))
 
 
