@@ -32,6 +32,12 @@ def parse_args():
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype (params stay fp32)")
+    ap.add_argument("--debug_eval", action="store_true",
+                    help="run a full eval pass before training (the "
+                         "reference's DEBUG_FLAG smoke eval, main.py:136-142)")
+    ap.add_argument("--vis", action="store_true",
+                    help="save per-task visualisations during infer mode "
+                         "(reference vis_phase, test_utils.py:57-79)")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
     return ap.parse_args()
@@ -70,6 +76,11 @@ def main():
 
     model = build_model(p, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                         else jnp.float32)
+    # trBatch/valBatch are per-device (reference: per-GPU); the loader yields
+    # the host-local global batch for the SPMD step
+    ndev = jax.local_device_count()
+    p["trBatch"] = int(p["trBatch"]) * ndev
+    p["valBatch"] = int(p["valBatch"]) * ndev
     train_tf, val_tf = cc.get_transformations(p)
     nshards, shard = data_shard_info()
     train_ds = cc.get_dataset(p, "train", train_tf, overfit=args.overfit)
@@ -91,6 +102,9 @@ def main():
         print(f"[main] resumed from step {int(state.step)}")
 
     if args.run_mode == "train":
+        if args.debug_eval:
+            print("[main] debug smoke eval before training")
+            print(json.dumps(test_phase(p, trainer, state, val_loader)))
         t0 = time.time()
         state, _ = train_phase(p, trainer, state, train_loader, val_loader,
                                rng=jax.random.PRNGKey(args.seed))
@@ -103,6 +117,21 @@ def main():
                                      save_dir=p["save_dir"])
             scores["3ddet"] = {"mDetection_Score": det["mDetection_Score"],
                                "mAP": det["mAP"]}
+        if args.vis:
+            from mtt_tpu.data.loader import device_put_batch
+            from mtt_tpu.utils.postprocess import get_output
+            from mtt_tpu.utils.visualization import save_visualizations
+            fwd = jax.jit(lambda s, x: {
+                t: get_output(o, t) for t, o in trainer.model.apply(
+                    {"params": s.params, "batch_stats": s.batch_stats},
+                    x, train=False).items()
+                if t in trainer.meter.tasks})
+            for batch in val_loader:
+                dev = device_put_batch({"image": batch["image"]})
+                outs = jax.device_get(fwd(state, dev["image"]))
+                for t, pred in outs.items():
+                    save_visualizations(p["save_dir"], t, pred, batch["meta"],
+                                        database=p["train_db_name"])
         print(json.dumps(scores, indent=2))
 
 

@@ -130,8 +130,41 @@ class MultiTaskLoader:
             stop.set()
 
 
+def pad_batch_to_multiple(batch: Dict, m: int, ignore: float = 255.0) -> Dict:
+    """Pad the batch axis up to a multiple of ``m`` so it shards over the
+    data mesh. Padded label entries are filled with the ignore index (and
+    det_valid with 0) so metric meters and losses never count them; padded
+    images repeat the last sample."""
+    sizes = [v.shape[0] for v in batch.values() if isinstance(v, np.ndarray)]
+    if not sizes:
+        return batch
+    B = sizes[0]
+    pad = (-B) % m
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        tail_shape = (pad,) + v.shape[1:]
+        if k == "image":
+            tail = np.repeat(v[-1:], pad, axis=0)
+        elif k == "det_valid":
+            tail = np.zeros(tail_shape, v.dtype)
+        elif k.startswith("det_"):
+            tail = np.zeros(tail_shape, v.dtype)
+        else:
+            tail = np.full(tail_shape, ignore, v.dtype)
+        out[k] = np.concatenate([v, tail], axis=0)
+    return out
+
+
 def device_put_batch(batch: Dict, sharding=None) -> Dict:
-    """Move numpy batch to device(s); arrays sharded on the batch axis."""
+    """Move numpy batch to device(s); arrays sharded on the batch axis.
+    Batches that don't divide the mesh are ignore-padded first."""
+    if sharding is not None and hasattr(sharding, "num_devices"):
+        batch = pad_batch_to_multiple(batch, sharding.num_devices)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
