@@ -32,8 +32,10 @@ def main():
     from mtt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from mtt_tpu.models.wrappers import TaskPrompterNet
+    from mtt_tpu.models.wrappers import TaskPrompterNet, TransformerNet
+    from mtt_tpu.models.vit import build_vit
 
+    model_kind = os.environ.get("MTT_BENCH_MODEL", "taskprompter")
     backbone = os.environ.get("MTT_BENCH_BACKBONE", "TaskPrompter_vitL")
     batch = int(os.environ.get("MTT_BENCH_BATCH", "8"))
     steps = int(os.environ.get("MTT_BENCH_STEPS", "20"))
@@ -41,10 +43,22 @@ def main():
     tasks = ("semseg", "human_parts", "sal", "edge", "normals")
     num_out = {"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
                "normals": 3}
-    model = TaskPrompterNet(
-        tasks=tasks, num_outputs=num_out, backbone_name=backbone,
-        tar_dim=300, final_dim=350, use_ctr=True, chan_nheads=1,
-        dtype=jnp.bfloat16)
+    if model_kind == "taskprompter":
+        model = TaskPrompterNet(
+            tasks=tasks, num_outputs=num_out, backbone_name=backbone,
+            tar_dim=300, final_dim=350, use_ctr=True, chan_nheads=1,
+            dtype=jnp.bfloat16)
+        label = f"TaskPrompter-{backbone.replace('TaskPrompter_vit', 'ViT-')}"
+    elif model_kind == "invpt":
+        model = TransformerNet(
+            tasks=tasks, num_outputs=num_out, backbone_name="vitL",
+            embed_dim=512, pred_out=64, dtype=jnp.bfloat16)
+        label = "InvPT-ViT-L"
+    elif model_kind == "backbone":
+        model = build_vit("vitL", (512, 512), dtype=jnp.bfloat16)
+        label = "ViT-L-backbone-only"
+    else:
+        raise SystemExit(f"unknown MTT_BENCH_MODEL {model_kind}")
 
     x = jnp.zeros((batch, 512, 512, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=())(
@@ -56,8 +70,9 @@ def main():
         # scalar checksum forces full materialisation; device_get of it is a
         # reliable sync point even through remote-dispatch tunnels where
         # block_until_ready can return early
-        return jnp.float32(sum(jnp.sum(o.astype(jnp.float32))
-                               for o in out.values()))
+        leaves = jax.tree.leaves(out)
+        return jnp.float32(sum(jnp.sum(l.astype(jnp.float32))
+                               for l in leaves))
 
     chk = float(jax.device_get(fwd(variables, x)))  # compile + warm-up
     t0 = time.perf_counter()
@@ -68,9 +83,8 @@ def main():
     assert np.isfinite(chk)
     imgs_per_sec = steps * batch / dt
 
-    name = backbone.replace("TaskPrompter_", "ViT-").replace("vit", "")
     print(json.dumps({
-        "metric": f"imgs/sec/chip (TaskPrompter-{name} PASCAL 5-task "
+        "metric": f"imgs/sec/chip ({label} PASCAL 5-task "
                   f"inference, bf16, batch {batch})",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",

@@ -110,7 +110,11 @@ class Attention(nn.Module):
 
 
 class ViTBlock(nn.Module):
-    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x))."""
+    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x)).
+
+    ``deterministic`` is positional (not kw-only) so nn.remat can mark it
+    static (static_argnums counts self as 0).
+    """
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
@@ -118,7 +122,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         C = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.dtype, name="attn")(

@@ -51,10 +51,13 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    remat: bool = False          # jax.checkpoint each block (training memory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, train: bool = False, deterministic: bool = None):
+        if deterministic is None:
+            deterministic = not train
         B = x.shape[0]
         tokens, (gh, gw) = PatchEmbed(self.patch_size, self.embed_dim,
                                       self.dtype, name="patch_embed")(x)
@@ -70,10 +73,11 @@ class VisionTransformer(nn.Module):
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
         taps: List[jax.Array] = []
+        block_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
         for i in range(self.depth):
-            tokens = ViTBlock(self.num_heads, self.mlp_ratio, self.qkv_bias,
-                              drop_path=dpr[i], dtype=self.dtype,
-                              name=f"blocks_{i}")(tokens, deterministic=deterministic)
+            tokens = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
+                               drop_path=dpr[i], dtype=self.dtype,
+                               name=f"blocks_{i}")(tokens, deterministic)
             if (i + 1) in self.select_list:
                 taps.append(tokens[:, 1:])
 

@@ -30,6 +30,7 @@ class TransformerNet(nn.Module):
     pred_out: int = 64
     mtt_downsample: int = 2
     drop_path_rate: float = 0.15
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -38,7 +39,7 @@ class TransformerNet(nn.Module):
         spec = VIT_SPECS[self.backbone_name]
         backbone = VisionTransformer(
             img_size=img_size, drop_path_rate=self.drop_path_rate,
-            dtype=self.dtype, name="backbone", **spec)
+            remat=self.remat, dtype=self.dtype, name="backbone", **spec)
         _, taps = backbone(x, deterministic=not train)
         grid = (img_size[0] // spec["patch_size"], img_size[1] // spec["patch_size"])
 
@@ -190,7 +191,8 @@ def build_model(p, dtype=jnp.float32):
             tasks=tasks, num_outputs=num_outputs,
             backbone_name=p["backbone"], head_name=p["head"],
             embed_dim=p["embed_dim"], pred_out=p["PRED_OUT_NUM_CONSTANT"],
-            mtt_downsample=p["mtt_resolution_downsample_rate"], dtype=dtype)
+            mtt_downsample=p["mtt_resolution_downsample_rate"],
+            remat=bool(p.get("remat", False)), dtype=dtype)
     if p["model"] == "TaskPrompter":
         if "swin" in p["backbone"].lower():
             return build_taskprompter_swin(p, dtype=dtype)
