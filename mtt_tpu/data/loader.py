@@ -40,6 +40,7 @@ class ShardedSampler:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
+        self.drop_last = drop_last
         per_shard = n // num_shards
         self.per_shard = (per_shard // batch_size) * batch_size if drop_last \
             else per_shard
@@ -55,11 +56,17 @@ class ShardedSampler:
         shard = idx[self.shard_index::self.num_shards][:self.per_shard]
         for i in range(0, len(shard), self.batch_size):
             batch = shard[i:i + self.batch_size]
-            if len(batch) == self.batch_size:
+            # drop_last=False must yield the trailing partial batch —
+            # eval otherwise silently skips up to batch_size-1 val images;
+            # device_put_batch's mesh-divisibility ignore-padding handles
+            # the ragged size downstream.
+            if len(batch) == self.batch_size or not self.drop_last:
                 yield batch.tolist()
 
     def __len__(self):
-        return self.per_shard // self.batch_size
+        if self.drop_last:
+            return self.per_shard // self.batch_size
+        return -(-self.per_shard // self.batch_size)
 
 
 def collate(samples: List[Dict]) -> Dict:
@@ -162,14 +169,26 @@ def pad_batch_to_multiple(batch: Dict, m: int, ignore: float = 255.0) -> Dict:
 
 def device_put_batch(batch: Dict, sharding=None) -> Dict:
     """Move numpy batch to device(s); arrays sharded on the batch axis.
-    Batches that don't divide the mesh are ignore-padded first."""
+    Batches that don't divide the mesh are ignore-padded first.
+
+    Multi-host: each process holds only its local shard of the global
+    batch, so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (global batch =
+    local batch x process_count); plain device_put with a global
+    NamedSharding would fail across processes."""
+    nproc = jax.process_count()
     if sharding is not None and hasattr(sharding, "num_devices"):
-        batch = pad_batch_to_multiple(batch, sharding.num_devices)
+        batch = pad_batch_to_multiple(
+            batch, max(1, sharding.num_devices // nproc))
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sharding) if sharding is not None \
-                else jax.device_put(v)
+            if sharding is not None and nproc > 1:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            elif sharding is not None:
+                out[k] = jax.device_put(v, sharding)
+            else:
+                out[k] = jax.device_put(v)
         else:
             out[k] = v
     return out

@@ -205,11 +205,10 @@ class EdgeMeter:
             gt = gt[..., 0]
         probs = pred.astype(jnp.float32) / 255.0
         valid = gt != self.ignore_index
-        # reference evaluates BCE on probabilities (not logits); replicate via
-        # logit transform of clipped probabilities
-        logits = jnp.log(jnp.clip(probs, 1e-6, 1 - 1e-6)) - jnp.log1p(
-            -jnp.clip(probs, 1e-6, 1 - 1e-6))
-        # reference actually passes probs straight into BCEWithLogits; match:
+        # The reference feeds *probabilities* straight into BCEWithLogits
+        # (InvPT/evaluation/eval_edge.py:30-36) — a quirk we replicate
+        # deliberately for metric parity; do NOT "fix" this to a logit
+        # transform.
         logits = probs
         label = jnp.where(valid, gt.astype(jnp.float32), 255.0)
         loss = balanced_bce_loss(logits[..., None], label[..., None],

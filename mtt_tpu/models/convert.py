@@ -176,6 +176,12 @@ def load_torch_backbone(state_dict: Dict[str, np.ndarray], params: Dict,
     for i in range(depth):
         key = f"blocks_{i}"
         blk = dict(out[key])
+        # Detect the block layout (as load_vit_npz does): VisionTransformer
+        # nests attention under an 'attn' submodule; TaskPrompter
+        # PromptedBlock keeps qkv/proj at block level. Writing a stray
+        # blk['attn'] dict into a TaskPrompter tree would be silently
+        # ignored by flax, leaving real attention weights at random init.
+        nested_attn = "attn" in blk
         for tk, path in _TORCH_BLOCK_MAP.items():
             src = f"blocks.{i}.{tk}"
             if src not in sd:
@@ -183,11 +189,10 @@ def load_torch_backbone(state_dict: Dict[str, np.ndarray], params: Dict,
             v = sd[src]
             if tk.endswith("weight") and v.ndim == 2:
                 v = v.T
-            node = blk
             trail = list(path)
-            # prompt-pathway params live at block level in our tree
-            if trail[0] in ("token_trans", "token_trans1"):
-                trail = trail
+            if trail[0] == "attn" and not nested_attn:
+                trail = trail[1:]
+            node = blk
             for p_ in trail[:-1]:
                 node[p_] = dict(node.get(p_, {}))
                 node = node[p_]
