@@ -30,14 +30,20 @@ def bbox_bev(boxes):
 
 
 def xywhr_to_corners(bev):
-    """(N,5) [cx, cy, w, h, yaw] -> (N,4,2) corner points."""
+    """(N,5) [cx, cy, w, h, yaw] -> (N,4,2) corner points.
+
+    Elementwise rotation, NOT an einsum: on TPU a default-precision
+    matmul runs the MXU at bf16 inputs, and the resulting corner noise
+    destroys the downstream polygon-clipping IoU (identical boxes came
+    out at IoU 0.003). Elementwise mul/add stays true fp32 on the VPU.
+    """
     c, s = jnp.cos(bev[:, 4]), jnp.sin(bev[:, 4])
     hw, hh = bev[:, 2] / 2, bev[:, 3] / 2
-    local = jnp.stack([
-        jnp.stack([-hw, -hh], -1), jnp.stack([hw, -hh], -1),
-        jnp.stack([hw, hh], -1), jnp.stack([-hw, hh], -1)], axis=1)  # (N,4,2)
-    rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=1)
-    return jnp.einsum("nij,nvj->nvi", rot, local) + bev[:, None, :2]
+    lx = jnp.stack([-hw, hw, hw, -hw], axis=1)            # (N,4)
+    ly = jnp.stack([-hh, -hh, hh, hh], axis=1)
+    gx = lx * c[:, None] - ly * s[:, None] + bev[:, None, 0]
+    gy = lx * s[:, None] + ly * c[:, None] + bev[:, None, 1]
+    return jnp.stack([gx, gy], axis=-1)
 
 
 def distance2bbox(points, distance, max_shape=None):

@@ -35,7 +35,13 @@ def _point_in_box(pts, box):
 
 def _seg_intersections(ca, cb):
     """All 16 edge-edge intersection points between two quads.
-    ca, cb: (4,2) corners. Returns (16,2) points, (16,) valid."""
+    ca, cb: (4,2) corners. Returns (16,2) points, (16,) valid.
+
+    The degeneracy guard is *relative*: near-parallel edges have
+    |den| ~ |r||q|·sin(angle), so an absolute eps misclassifies either
+    tiny boxes (false parallels) or big far-away boxes (fp32 noise in
+    den treated as a real crossing, which is what broke on TPU).
+    """
     a0 = jnp.repeat(ca, 4, axis=0)                    # (16,2)
     a1 = jnp.repeat(jnp.roll(ca, -1, 0), 4, axis=0)
     b0 = jnp.tile(cb, (4, 1))
@@ -43,18 +49,28 @@ def _seg_intersections(ca, cb):
     r = a1 - a0
     q = b1 - b0
     den = r[:, 0] * q[:, 1] - r[:, 1] * q[:, 0]
+    scale = jnp.sqrt((r * r).sum(-1) * (q * q).sum(-1))
+    degenerate = jnp.abs(den) < jnp.maximum(1e-5 * scale, _EPS)
+    safe_den = jnp.where(degenerate, 1.0, den)
     d0 = b0 - a0
-    t = (d0[:, 0] * q[:, 1] - d0[:, 1] * q[:, 0]) / jnp.where(
-        jnp.abs(den) < _EPS, 1.0, den)
-    u = (d0[:, 0] * r[:, 1] - d0[:, 1] * r[:, 0]) / jnp.where(
-        jnp.abs(den) < _EPS, 1.0, den)
-    valid = (jnp.abs(den) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    t = (d0[:, 0] * q[:, 1] - d0[:, 1] * q[:, 0]) / safe_den
+    u = (d0[:, 0] * r[:, 1] - d0[:, 1] * r[:, 0]) / safe_den
+    valid = ~degenerate & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
     pts = a0 + t[:, None] * r
     return pts, valid
 
 
 def _pair_intersection_area(box_a, box_b):
-    """Intersection area of two rotated BEV boxes [cx,cy,w,h,yaw]."""
+    """Intersection area of two rotated BEV boxes [cx,cy,w,h,yaw].
+
+    All geometry is done relative to the midpoint of the two box
+    centers: Cityscapes BEV coordinates reach ~100 m, and fp32
+    cancellation on far-from-origin corners feeds the near-parallel
+    determinant divisions above (VERDICT.md weak #1).
+    """
+    mid = (box_a[:2] + box_b[:2]) / 2
+    box_a = box_a.at[:2].add(-mid)
+    box_b = box_b.at[:2].add(-mid)
     ca = xywhr_to_corners(box_a[None])[0]
     cb = xywhr_to_corners(box_b[None])[0]
     ipts, ival = _seg_intersections(ca, cb)

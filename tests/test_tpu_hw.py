@@ -1,0 +1,112 @@
+"""On-hardware validation (run with `MTT_TEST_TPU=1 pytest tests/`).
+
+VERDICT.md round-1 items 3 and 4: the rotated-BEV IoU geometry and both
+Pallas kernels were only ever validated on CPU; on the real TPU the
+default-precision matmuls broke the polygon geometry (identical-box IoU
+0.003) and the kernel-vs-XLA comparisons were never established at
+realistic tolerances. These tests pin all of that on the actual backend
+(they also pass on CPU, but conftest only schedules them under
+MTT_TEST_TPU=1).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+class TestIoU3DOnTPU:
+    def test_identical_box_iou_one(self):
+        import jax.numpy as jnp
+        from mtt_tpu.detection.iou3d import boxes_iou_bev
+        a = jnp.array([[1.0, 2.0, 3.0, 1.5, 0.7]])
+        assert abs(float(boxes_iou_bev(a, a)[0, 0]) - 1.0) < 1e-4
+
+    def test_far_from_origin_identical(self):
+        # Cityscapes-scale coordinates (up to ~100 m) — the fp32
+        # cancellation case that motivated centroid-relative corner math
+        import jax.numpy as jnp
+        from mtt_tpu.detection.iou3d import boxes_iou_bev
+        a = jnp.array([[87.3, -42.6, 4.2, 1.8, 2.13]])
+        assert abs(float(boxes_iou_bev(a, a)[0, 0]) - 1.0) < 1e-4
+
+    def test_random_pairs_match_cpu_oracle(self):
+        import jax
+        import jax.numpy as jnp
+        from mtt_tpu.detection.iou3d import boxes_iou_bev
+        rng = _rng(0)
+        n = 16
+        boxes = np.stack([
+            rng.uniform(-80, 80, n), rng.uniform(0, 100, n),
+            rng.uniform(1, 5, n), rng.uniform(1, 3, n),
+            rng.uniform(-np.pi, np.pi, n)], axis=1).astype(np.float32)
+        dev = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+        cpu = jax.jit(boxes_iou_bev, backend="cpu")(boxes, boxes)
+        np.testing.assert_allclose(dev, np.asarray(cpu), atol=5e-3)
+        np.testing.assert_allclose(np.diag(dev), 1.0, atol=1e-4)
+
+    def test_nms_keeps_sane(self):
+        import jax.numpy as jnp
+        from mtt_tpu.detection.iou3d import nms_bev
+        # two near-duplicates + one distant box -> 2 kept
+        boxes = jnp.array([[0.0, 0.0, 4.0, 2.0, 0.3],
+                           [0.05, 0.0, 4.0, 2.0, 0.32],
+                           [30.0, 40.0, 4.0, 2.0, 1.0]])
+        scores = jnp.array([0.9, 0.8, 0.7])
+        keep = np.asarray(nms_bev(boxes, scores, 0.5))
+        assert keep.tolist() == [True, False, True]
+
+
+class TestPallasKernelsOnTPU:
+    def test_backbone_attention_pallas_vs_xla(self):
+        # bench shape: ViT-L 512^2 + 5 prompts -> N=1029, H=16, D=64
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import fused_attention
+        rng = _rng(1)
+        B, N, H, D = 2, 1029, 16, 64
+        q = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        ref = np.asarray(fused_attention(q, k, v, impl="xla"))
+        out = np.asarray(fused_attention(q, k, v, impl="pallas"))
+        # fp32 inputs; fp32 accumulation in both paths -> tight tolerance
+        np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+    def test_backbone_attention_bf16_pallas_vs_xla(self):
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import fused_attention
+        rng = _rng(2)
+        B, N, H, D = 1, 1029, 16, 64
+        mk = lambda s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32), jnp.bfloat16)
+        q, k, v = mk((B, N, H, D)), mk((B, N, H, D)), mk((B, N, H, D))
+        ref = np.asarray(fused_attention(q, k, v, impl="xla"), np.float32)
+        out = np.asarray(fused_attention(q, k, v, impl="pallas"), np.float32)
+        # bf16 IO: tolerance is one bf16 ulp of the output scale
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+    def test_invpt_message_kernel_pallas_vs_xla(self):
+        # InvPT stage-2 shape: 5 tasks x 32x32 q (stride 2 -> 1280),
+        # kv 5x8x8=320, 2 heads of 64
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.invpt_attention import invpt_fused_attention
+        rng = _rng(3)
+        B, H, Lq, Lk, D = 1, 2, 1280, 320, 64
+        q = jnp.asarray(rng.normal(size=(B, H, Lq, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+        msg = jnp.asarray(rng.normal(size=(B, H, Lq, Lk)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(H, 2 * H)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.1)
+        o_ref, m_ref = invpt_fused_attention(q, k, v, msg, w, b,
+                                             D ** -0.5, impl="xla")
+        o_out, m_out = invpt_fused_attention(q, k, v, msg, w, b,
+                                             D ** -0.5, impl="pallas")
+        np.testing.assert_allclose(np.asarray(o_out), np.asarray(o_ref),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(m_out), np.asarray(m_ref),
+                                   atol=5e-3, rtol=5e-3)
