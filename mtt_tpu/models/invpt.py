@@ -225,7 +225,11 @@ class InvPTDecoder(nn.Module):
         # scale_embed skip adapters (transformer_decoder.py:63-67).
         # back2 (scale_embed[2] in the reference) is built but unused there —
         # stage 0 has no patch_embed so its skip-add never runs; we omit it.
-        back0 = nn.ConvTranspose(dims[2], (3, 3), strides=(2, 2), padding="SAME",
+        # padding (1,2): matches torch ConvTranspose2d(k=3, stride=2,
+        # padding=1, output_padding=1) exactly (validated in
+        # tests/test_convert_torch.py::test_convtranspose_semantics)
+        back0 = nn.ConvTranspose(dims[2], (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
                                  dtype=self.dtype, name="scale_embed_0")(maps[0])
         back1 = nn.Conv(dims[1], (3, 3), padding="SAME", dtype=self.dtype,
                         name="scale_embed_1")(maps[1])

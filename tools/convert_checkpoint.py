@@ -60,11 +60,22 @@ def main():
         print(f"[convert] loaded npz backbone from {args.npz}")
     elif args.torch_path:
         import torch
-        sd = torch.load(args.torch_path, map_location="cpu")
+        from mtt_tpu.models.convert_torch import convert_full_checkpoint
+        sd = torch.load(args.torch_path, map_location="cpu",
+                        weights_only=False)
         sd = sd.get("model", sd)
-        sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
-        bb = C.load_torch_backbone(sd, bb, depth, grid)
-        print(f"[convert] mapped torch backbone from {args.torch_path}")
+        sd = {k.replace("module.", ""): np.asarray(v) for k, v in sd.items()}
+        variables = {"params": params,
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        variables = convert_full_checkpoint(
+            sd, variables, p["model"], list(p.TASKS.NAMES), depth,
+            use_ctr=bool(p.get("use_ctr", False)))
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        trainer.save_checkpoint(state, args.out)
+        print(f"[convert] mapped FULL torch checkpoint ({len(sd)} keys) "
+              f"from {args.torch_path}; wrote {args.out}")
+        return
     else:
         raise SystemExit("give --npz or --torch")
 
