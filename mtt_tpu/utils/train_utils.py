@@ -177,6 +177,12 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
     epoch = 0
     history = []
     profiler = StepProfiler()
+    # scalar curves (reference update_tb/tb_update_perf,
+    # InvPT/utils/train_utils.py:16-18,96-108): TB event file + CSV
+    tb = None
+    if jax.process_index() == 0 and "save_dir" in p:
+        from mtt_tpu.utils.tb_writer import SummaryWriter, flatten_scores
+        tb = SummaryWriter(os.path.join(p["save_dir"], "tb"))
     save_tasks = ("edge",) if "edge" in p.TASKS.NAMES else None
     t0 = time.time()
     while it < max_iter:
@@ -196,6 +202,12 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
                             " ".join(f"{k}={v:.4f}" for k, v in host.items()
                                      if k != "total"))
                 history.append({"iter": it, **host})
+                if tb is not None:
+                    tb.add_scalars(host, it, prefix="loss/")
+                    if trainer.sched is not None:
+                        tb.add_scalar("lr", float(trainer.sched(it)), it)
+                    tb.add_scalar("imgs_per_sec", rate, it)
+                    tb.flush()
             if it % val_interval == 0 or it >= max_iter:
                 if val_loader is not None:
                     scores = test_phase(p, trainer, state, val_loader,
@@ -204,10 +216,19 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
                     with open(os.path.join(p["save_dir"],
                                            f"results_iter{it}.json"), "w") as f:
                         json.dump(scores, f)
+                    if tb is not None:
+                        from mtt_tpu.utils.tb_writer import flatten_scores
+                        tb.add_scalars(flatten_scores(scores), it,
+                                       prefix="perf/")
+                        tb.flush()
                 trainer.save_checkpoint(state, p["checkpoint"])
                 if it >= max_iter:
+                    if tb is not None:
+                        tb.close()
                     return state, history
         epoch += 1
+    if tb is not None:
+        tb.close()
     return state, history
 
 
