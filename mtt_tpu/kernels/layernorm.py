@@ -1,0 +1,124 @@
+"""Fused LayerNorm Pallas kernel (TPU) with XLA fallback and custom VJP.
+
+XLA's LayerNorm on this chip costs ~0.28 ms per (8, 1029, 1024) call —
+6x the HBM-bandwidth bound — because the mean/variance reductions and the
+normalize+affine pass are separate HBM round trips. This kernel does one
+read + one write per row block: mean, variance, rsqrt, scale/shift all in
+VMEM. At 4 LayerNorm applications per ViT block that is ~10 ms per
+ViT-L forward step.
+
+Backward: recompute-based custom VJP in XLA (LN backward is cheap and
+fuses well; the win lives in the inference/forward path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)        # (bm, C)
+    m = x.mean(axis=-1, keepdims=True)
+    xc = x - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(v + eps)
+    o_ref[...] = (y * g_ref[0] + b_ref[0]).astype(o_ref.dtype)
+
+
+def _ln_pallas(x2, gamma, beta, eps: float, block_m: int = 512,
+               interpret: bool = False):
+    """x2: (M, C) -> (M, C), fp32 statistics, affine in fp32."""
+    M, C = x2.shape
+    Mp = (M + block_m - 1) // block_m * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
+        grid=(Mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(x2, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32))
+    return out[:M]
+
+
+def _ln_xla(x2, gamma, beta, eps: float):
+    x = x2.astype(jnp.float32)
+    m = x.mean(axis=-1, keepdims=True)
+    xc = x - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(v + eps)
+    return (y * gamma.astype(jnp.float32)
+            + beta.astype(jnp.float32)).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ln(x2, gamma, beta, eps: float, impl: str):
+    if impl == "pallas":
+        return _ln_pallas(x2, gamma, beta, eps)
+    if impl == "interpret":
+        return _ln_pallas(x2, gamma, beta, eps, interpret=True)
+    return _ln_xla(x2, gamma, beta, eps)
+
+
+def _fwd(x2, gamma, beta, eps, impl):
+    return _fused_ln(x2, gamma, beta, eps, impl), (x2, gamma)
+
+
+def _bwd(eps, impl, res, g):
+    x2, gamma = res
+    x = x2.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    m = x.mean(axis=-1, keepdims=True)
+    xc = x - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(v + eps)
+    xhat = xc * rstd
+    dgamma = (gf * xhat).sum(axis=tuple(range(x.ndim - 1)))
+    dbeta = gf.sum(axis=tuple(range(x.ndim - 1)))
+    dxhat = gf * gamma.astype(jnp.float32)
+    C = x.shape[-1]
+    dx = rstd * (dxhat - dxhat.mean(-1, keepdims=True)
+                 - xhat * (dxhat * xhat).mean(-1, keepdims=True))
+    return (dx.astype(x2.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(gamma.dtype))
+
+
+_fused_ln.defvjp(_fwd, _bwd)
+
+
+def fused_layernorm(x, gamma, beta, eps: float = 1e-6,
+                    impl: Optional[str] = None):
+    """LayerNorm over the last axis of x (any leading shape)."""
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_LN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    out = _fused_ln(x2, gamma, beta, eps, impl)
+    return out.reshape(shape)
+
+

@@ -37,7 +37,8 @@ def _resize_pos_embed_np(pos: np.ndarray, new_grid: Tuple[int, int],
 
 def load_vit_npz(npz_path: str, params: Dict, depth: int,
                  grid: Tuple[int, int], prefix: str = "",
-                 with_cls_token: bool = True) -> Dict:
+                 with_cls_token: bool = True,
+                 num_heads: int = None) -> Dict:
     """Fill a VisionTransformer/TaskPrompterViT param tree from an npz.
 
     ``params`` is the (mutable copy of the) 'params' collection of the
@@ -81,11 +82,17 @@ def load_vit_npz(npz_path: str, params: Dict, depth: int,
         ln("norm1", bp + "LayerNorm_0")
         ln("norm2", bp + "LayerNorm_2")
 
-        qkv_k = np.concatenate([
-            g(mh + n + "/kernel").reshape(C, C) for n in ("query", "key", "value")],
-            axis=1)                                   # (C, 3C)
-        qkv_b = np.concatenate([
-            g(mh + n + "/bias").reshape(C) for n in ("query", "key", "value")])
+        # our attention kernel wants HEAD-MAJOR qkv columns (H, 3, D); the
+        # npz stores separate (C, H, D) q/k/v projections
+        H_ = num_heads or C // 64
+        D_ = C // H_
+        qkv_k = np.stack([
+            g(mh + n + "/kernel").reshape(C, H_, D_)
+            for n in ("query", "key", "value")], axis=2)  # (C, H, 3, D)
+        qkv_k = qkv_k.reshape(C, 3 * C)
+        qkv_b = np.stack([
+            g(mh + n + "/bias").reshape(H_, D_)
+            for n in ("query", "key", "value")], axis=1).reshape(3 * C)
         qkv = {"kernel": qkv_k, "bias": qkv_b}
         proj = {"kernel": g(mh + "out/kernel").reshape(C, C),
                 "bias": g(mh + "out/bias")}
@@ -110,12 +117,14 @@ def load_vit_npz(npz_path: str, params: Dict, depth: int,
 
 
 def load_vit_npz_taskprompter(npz_path: str, params: Dict, depth: int,
-                              grid: Tuple[int, int]) -> Dict:
+                              grid: Tuple[int, int],
+                              num_heads: int = None) -> Dict:
     """TaskPrompter-ViT blocks share the ViT layout; qkv/proj/norms/mlp load
     from the npz, prompt-specific params (task_prompts, token_trans*) keep
     their init — mirroring the reference's partial load (pretrained ViT +
     new prompting params)."""
-    out = load_vit_npz(npz_path, params, depth, grid, with_cls_token=False)
+    out = load_vit_npz(npz_path, params, depth, grid, with_cls_token=False,
+                       num_heads=num_heads)
     # TaskPrompter blocks keep the prompt pathway params from init; nothing
     # further to do — load_vit_npz only touched shared keys.
     return out

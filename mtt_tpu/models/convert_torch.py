@@ -44,6 +44,24 @@ def _conv_t(v):
     return np.ascontiguousarray(np.transpose(v, (2, 3, 0, 1)))
 
 
+def _qkv_lin(v, heads):
+    """torch fused-qkv weight (3C, C) in (3,H,D) column order -> flax
+    (C, 3C) in HEAD-MAJOR (H,3,D) order (see fused_attention_qkv)."""
+    vt = np.ascontiguousarray(v.T)
+    C = vt.shape[0]
+    D = C // heads
+    return np.ascontiguousarray(
+        vt.reshape(C, 3, heads, D).transpose(0, 2, 1, 3).reshape(C, 3 * C))
+
+
+def _qkv_bias(v, heads):
+    C3 = v.shape[0]
+    C = C3 // 3
+    D = C // heads
+    return np.ascontiguousarray(
+        v.reshape(3, heads, D).transpose(1, 0, 2).reshape(C3))
+
+
 def _conv1x1_to_dense(v):
     # torch Conv2d 1x1 weight (O, I, 1, 1) used where our tree has a Dense
     return np.ascontiguousarray(v[:, :, 0, 0].T)
@@ -142,7 +160,8 @@ def _resize_pos_embed(pos, want_shape, num_prefix=1):
 # backbone block mappers
 # ---------------------------------------------------------------------------
 
-def _map_vit_backbone(m: Mapper, depth: int, pre: str = "backbone",
+def _map_vit_backbone(m: Mapper, depth: int, heads: int,
+                      pre: str = "backbone",
                       nested_attn: bool = True, prompted: bool = False):
     t = f"{pre}."
     f = f"{pre}"
@@ -153,7 +172,10 @@ def _map_vit_backbone(m: Mapper, depth: int, pre: str = "backbone",
         m.ln(fb + "/norm1", tb + ".norm1")
         m.ln(fb + "/norm2", tb + ".norm2")
         ap = fb + "/attn" if nested_attn else fb
-        m.dense(ap + "/qkv", tb + ".attn.qkv")
+        m.put("params", ap + "/qkv/kernel",
+              m.take(tb + ".attn.qkv.weight", lambda v: _qkv_lin(v, heads)))
+        m.put("params", ap + "/qkv/bias",
+              m.take(tb + ".attn.qkv.bias", lambda v: _qkv_bias(v, heads)))
         m.dense(ap + "/proj", tb + ".attn.proj")
         if prompted:
             m.dense(fb + "/token_trans", tb + ".attn.token_trans")
@@ -168,29 +190,53 @@ def _map_vit_backbone(m: Mapper, depth: int, pre: str = "backbone",
 # ---------------------------------------------------------------------------
 
 def map_taskprompter_net(sd: Dict[str, np.ndarray], tasks: List[str],
-                         depth: int, use_ctr: bool = True) -> Mapper:
+                         depth: int, heads: int,
+                         use_ctr: bool = True) -> Mapper:
     """TaskPrompterNet (ViT-B/L): backbone.* + heads.* -> flax entries.
 
     Reference module tree: taskprompter.py:330-367 (decode convs),
     168-193 (block/attention), 688-698 (ConvHead).
     """
     m = Mapper(sd)
-    _map_vit_backbone(m, depth, "backbone", nested_attn=False, prompted=True)
+    _map_vit_backbone(m, depth, heads, "backbone", nested_attn=False,
+                      prompted=True)
     m.put("params", "backbone/task_prompts", m.take("backbone.task_prompts"))
     # pos_embed resampled by the caller (needs the flax shape)
     m.used.add("backbone.pos_embed")
 
     for il in range(4):
         fd = f"backbone/decode_{il}"
+        # per-task decode convs are stacked into grouped convs (task-major
+        # channel order) in our tree — see TaskFeatureDecode
+        def conv_stack(flax, tkeys):
+            m.put("params", flax + "/kernel", m.take_many(
+                [k + ".weight" for k in tkeys], _conv_stack))
+            m.put("params", flax + "/bias", m.take_many(
+                [k + ".bias" for k in tkeys], _cat))
+
+        conv_stack(f"{fd}/spa_{il}",
+                   [f"backbone.fea_decode_spa.{il}.{t}.0" for t in tasks])
+        conv_stack(f"{fd}/chan_{il}",
+                   [f"backbone.fea_decode_chan.{il}.{t}.0" for t in tasks])
+        conv_stack(f"{fd}/fuse0_{il}",
+                   [f"backbone.fea_fuse.{il}.{t}.0" for t in tasks])
+        conv_stack(f"{fd}/fuse1_{il}",
+                   [f"backbone.fea_fuse.{il}.{t}.1" for t in tasks])
+        conv_stack(f"{fd}/fuse2_{il}",
+                   [f"backbone.fea_fuse.{il}.{t}.4" for t in tasks])
+        bnp = f"{fd}/fuse_bn_{il}"
+        bks = [f"backbone.fea_fuse.{il}.{t}.2" for t in tasks]
+        m.put("params", bnp + "/scale",
+              m.take_many([k + ".weight" for k in bks], _cat))
+        m.put("params", bnp + "/bias",
+              m.take_many([k + ".bias" for k in bks], _cat))
+        m.put("batch_stats", bnp + "/mean",
+              m.take_many([k + ".running_mean" for k in bks], _cat))
+        m.put("batch_stats", bnp + "/var",
+              m.take_many([k + ".running_var" for k in bks], _cat))
+        for k in bks:
+            m.used.add(k + ".num_batches_tracked")
         for t in tasks:
-            m.conv(f"{fd}/fea_decode_spa_{il}_{t}",
-                   f"backbone.fea_decode_spa.{il}.{t}.0")
-            m.conv(f"{fd}/fea_decode_chan_{il}_{t}",
-                   f"backbone.fea_decode_chan.{il}.{t}.0")
-            m.conv(f"{fd}/fea_fuse_{il}_{t}_0", f"backbone.fea_fuse.{il}.{t}.0")
-            m.conv(f"{fd}/fea_fuse_{il}_{t}_1", f"backbone.fea_fuse.{il}.{t}.1")
-            m.bn(f"{fd}/fea_fuse_{il}_{t}_bn", f"backbone.fea_fuse.{il}.{t}.2")
-            m.conv(f"{fd}/fea_fuse_{il}_{t}_2", f"backbone.fea_fuse.{il}.{t}.4")
             if use_ctr:
                 # reference ctr convs are 1x1 Conv2d over the head axis; our
                 # tree holds them as Dense (same math)
@@ -217,7 +263,7 @@ def map_taskprompter_net(sd: Dict[str, np.ndarray], tasks: List[str],
 # ---------------------------------------------------------------------------
 
 def map_transformer_net(sd: Dict[str, np.ndarray], tasks: List[str],
-                        depth: int) -> Mapper:
+                        depth: int, heads: int) -> Mapper:
     """TransformerNet (InvPT ViT-L): backbone.* + multi_task_decoder.* +
     heads.* -> flax entries.
 
@@ -225,7 +271,8 @@ def map_transformer_net(sd: Dict[str, np.ndarray], tasks: List[str],
     (preamble), invpt.py:419-545 (stages/norms/redu_chan/mt_proj/mix_proj).
     """
     m = Mapper(sd)
-    _map_vit_backbone(m, depth, "backbone", nested_attn=True, prompted=False)
+    _map_vit_backbone(m, depth, heads, "backbone", nested_attn=True,
+                      prompted=False)
     m.put("params", "backbone/cls_token", m.take("backbone.cls_token"))
     m.used.add("backbone.pos_embed")  # resampled by caller
 
@@ -421,15 +468,20 @@ def apply_entries(variables: Dict, mapper: Mapper,
 
 def convert_full_checkpoint(sd: Dict[str, np.ndarray], variables: Dict,
                             model_kind: str, tasks: List[str], depth: int,
-                            use_ctr: bool = True) -> Dict:
+                            heads: int = None, use_ctr: bool = True) -> Dict:
     """One-call conversion: torch state dict -> full flax variables.
 
-    model_kind: 'TransformerNet' | 'TaskPrompter'.
+    model_kind: 'TransformerNet' | 'TaskPrompter'. ``heads`` is the
+    backbone head count (needed for the qkv column reorder); defaults to
+    C // 64 inferred from the qkv weight.
     """
+    if heads is None:
+        qk = [k for k in sd if k.endswith(".attn.qkv.weight")][0]
+        heads = sd[qk].shape[1] // 64
     if model_kind == "TransformerNet":
-        m = map_transformer_net(sd, tasks, depth)
+        m = map_transformer_net(sd, tasks, depth, heads)
     elif model_kind == "TaskPrompter":
-        m = map_taskprompter_net(sd, tasks, depth, use_ctr=use_ctr)
+        m = map_taskprompter_net(sd, tasks, depth, heads, use_ctr=use_ctr)
     else:
         raise ValueError(f"unknown model kind {model_kind}")
     out = apply_entries(variables, m)

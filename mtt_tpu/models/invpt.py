@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mtt_tpu.models.layers import (ConvBNAct, DropPath, Mlp, interpolate,
-                                   trunc_normal, upsample2x)
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
+                                   interpolate, trunc_normal, upsample2x)
 
 
 def _flatten_tasks(x):  # (B,T,H,W,C) -> (B, T*H*W, C)
@@ -84,7 +84,7 @@ class UpEmbed(nn.Module):
     def __call__(self, x, *, train: bool = False):
         B, T, H, W, C = x.shape
         x = x.reshape(B * T, H, W, C)
-        x = jax.image.resize(x, (B * T, 2 * H, 2 * W, C), method="linear")
+        x = upsample2x(x)
         x = x.reshape(B, T, 2 * H, 2 * W, C)
         x = TaskStackConvBN(self.features, (3, 3), dilation=(2, 2),
                             dtype=self.dtype, name="proj1")(x, train=train)
@@ -149,7 +149,7 @@ class CrossTaskAttention(nn.Module):
         if message is not None:
             ph, pw = qh // 2, qw // 2  # previous stage query grid per task
             prev = message.reshape(B * Hn * T, ph, pw, Lk)
-            prev = jax.image.resize(prev, (B * Hn * T, qh, qw, Lk), method="linear")
+            prev = interpolate(prev, (qh, qw))
             prev = prev.reshape(B, Hn, T * qh * qw, Lk)
             w = self.param("fuse_attn_kernel", trunc_normal(0.02), (Hn, 2 * Hn))
             b = self.param("fuse_attn_bias", nn.initializers.zeros, (Hn,))
@@ -162,7 +162,7 @@ class CrossTaskAttention(nn.Module):
 
         # upsample attention output back to block resolution (invpt.py:299-305)
         out = out.reshape(B * T, qh, qw, self.dim)
-        out = jax.image.resize(out, (B * T, H, W, self.dim), method="linear")
+        out = interpolate(out, (H, W))
         out = out.reshape(B, T, H, W, self.dim)
         return out, new_message
 
@@ -180,12 +180,12 @@ class InvPTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, message, *, train: bool = False):
         B, T, H, W, C = x.shape
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = FusedLN(name="norm1")(x)
         attn_out, new_message = CrossTaskAttention(
             self.dim, self.num_heads, self.kv_stride, dtype=self.dtype,
             name="attn")(h, message, train=train)
         x = x + DropPath(self.drop_path, name="dp1")(attn_out, deterministic=not train)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = FusedLN(name="norm2")(x)
         h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
         x = x + DropPath(self.drop_path, name="dp2")(h, deterministic=not train)
         return x, new_message
@@ -270,7 +270,7 @@ class InvPTDecoder(nn.Module):
             # (invpt.py:524-527: LayerNorm(task_no * dim))
             Bx, Tx, Hx, Wx, Cx = x.shape
             xs = x.transpose(0, 2, 3, 1, 4).reshape(Bx, Hx, Wx, Tx * Cx)
-            xs = nn.LayerNorm(dtype=self.dtype, name=f"norm_mt_{i}")(xs)
+            xs = FusedLN(name=f"norm_mt_{i}")(xs)
             xs = xs.reshape(Bx, Hx, Wx, Tx, Cx).transpose(0, 3, 1, 2, 4)
 
             for ti, t in enumerate(self.tasks):

@@ -23,6 +23,21 @@ def trunc_normal(std: float = 0.02, mean: float = 0.0):
     return init
 
 
+class FusedLN(nn.Module):
+    """LayerNorm with the same param tree as nn.LayerNorm ('scale'/'bias')
+    dispatching to the fused Pallas kernel on TPU (one HBM read+write per
+    row instead of XLA's multi-pass lowering; mtt_tpu.kernels.layernorm)."""
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        from mtt_tpu.kernels.layernorm import fused_layernorm
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return fused_layernorm(x, scale, bias, self.epsilon)
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> GELU -> fc2 (timm Mlp equivalent)."""
     hidden_features: int
@@ -101,11 +116,12 @@ class Attention(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
+        # qkv kernel columns are stored HEAD-MAJOR (H, 3, D) — the kernel
+        # consumes the Dense output directly with zero slices/transposes
+        # (converters reorder torch/npz (3, H, D) weights to match)
+        from mtt_tpu.kernels.attention import fused_attention_qkv
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, scale=D ** -0.5)
-        out = out.reshape(B, N, C)
+        out = fused_attention_qkv(qkv, H, D ** -0.5)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -124,11 +140,11 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         C = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = FusedLN(name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.dtype, name="attn")(
             h, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = FusedLN(name="norm2")(x)
         h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             h, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic=deterministic)
@@ -162,11 +178,60 @@ class ConvBNAct(nn.Module):
         return x
 
 
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=128)
+def _linear_resize_matrix(n_in: int, n_out: int):
+    """(n_out, n_in) half-pixel bilinear weights — identical sampling to
+    jax.image.resize 'linear' for UPSAMPLING (2-tap triangle kernel;
+    torch align_corners=False)."""
+    o = _np.arange(n_out)
+    c = (o + 0.5) * (n_in / n_out) - 0.5
+    lo = _np.floor(c).astype(int)
+    frac = (c - lo).astype(_np.float32)
+    hi = _np.clip(lo + 1, 0, n_in - 1)
+    lo = _np.clip(lo, 0, n_in - 1)
+    M = _np.zeros((n_out, n_in), _np.float32)
+    _np.add.at(M, (o, lo), 1.0 - frac)
+    _np.add.at(M, (o, hi), frac)
+    return M
+
+
+def _upsample_matmul(x, size):
+    """Separable bilinear upsample as two small matmuls. XLA's gather-based
+    resize fusion costs ~12x memory-bound on TPU for the model's 4x
+    (32->128, 350ch) upsamples (profiled: 1.73 ms vs ~0.15 ms bound);
+    expressing the interpolation as (H_out,H_in) @ x @ (W_out,W_in)^T rides
+    the MXU instead. Layout-friendly form: rows via (O,H)@(B,H,W*C) with the
+    huge W*C axis staying minor, cols via a (B*O)-batched (P,W)@(W,C)."""
+    B, H, W, C = x.shape
+    O, P = size
+    R = jnp.asarray(_linear_resize_matrix(H, O), x.dtype)
+    Cm = jnp.asarray(_linear_resize_matrix(W, P), x.dtype)
+    # rows: contract over H, minor dim W*C untouched
+    y = jax.lax.dot_general(
+        R, x.reshape(B, H, W * C), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (O, B, W*C)
+    y = y.astype(x.dtype).reshape(O, B, W, C).transpose(1, 0, 2, 3)
+    # cols: batched over B*O, contract over W
+    y2 = jax.lax.dot_general(
+        jnp.broadcast_to(Cm, (B * O, P, W)), y.reshape(B * O, W, C),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (B*O, P, C)
+    return y2.astype(x.dtype).reshape(B, O, P, C)
+
+
 def interpolate(x, size: Tuple[int, int], method: str = "bilinear"):
     """Resize NHWC feature maps. Half-pixel centers == torch align_corners=False."""
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
         return x
+    if method in ("bilinear", "linear") and size[0] >= H and size[1] >= W:
+        # upsampling: 2-tap kernel == matmul form (downsampling would need
+        # jax.image.resize's anti-aliased wider kernel)
+        return _upsample_matmul(x, size)
     jax_method = {"bilinear": "linear", "linear": "linear",
                   "nearest": "nearest", "bicubic": "cubic", "cubic": "cubic"}[method]
     return jax.image.resize(x, (B, size[0], size[1], C), method=jax_method)
@@ -175,4 +240,4 @@ def interpolate(x, size: Tuple[int, int], method: str = "bilinear"):
 def upsample2x(x):
     """2x bilinear upsample, NHWC."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="linear")
+    return _upsample_matmul(x, (2 * H, 2 * W))

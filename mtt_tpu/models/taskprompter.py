@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mtt_tpu.models.layers import (ConvBNAct, DropPath, Mlp, PatchEmbed,
-                                   dot_product_attention, trunc_normal)
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
+                                   PatchEmbed, dot_product_attention,
+                                   interpolate, trunc_normal)
 
 
 class PromptBlockOut:
@@ -58,19 +59,19 @@ class PromptedBlock(nn.Module):
                  deterministic: bool = True):
         B, N, C = x.shape
         P = prompts.shape[1]
-        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        norm1 = FusedLN(name="norm1")
         xn = norm1(x)
         pn = norm1(prompts)
 
         joint = jnp.concatenate([pn, xn], axis=1)
+        # qkv kernel columns stored HEAD-MAJOR (H, 3, D) — see layers.Attention
+        from mtt_tpu.kernels.attention import fused_attention_qkv
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(joint)
         H, D = self.num_heads, C // self.num_heads
-        qkv = qkv.reshape(B, P + N, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        out = dot_product_attention(q, k, v, scale=D ** -0.5)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out.reshape(B, P + N, C))
+        out = fused_attention_qkv(qkv, H, D ** -0.5)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         p_attn, x_attn = out[:, :P], out[:, P:]
 
         # channel pathway: prompts -> pixel-space queries; the reference's
@@ -85,7 +86,10 @@ class PromptedBlock(nn.Module):
 
         raw = None
         if need_taps:
-            # raw (pre-scale, pre-softmax) prompt-row spatial scores
+            # raw (pre-scale, pre-softmax) prompt-row spatial scores; q/k
+            # sliced from the head-major qkv tensor (tap layers only)
+            qkv5 = qkv.reshape(B, P + N, H, 3, D)
+            q, k = qkv5[:, :, :, 0], qkv5[:, :, :, 1]
             raw_spa = jnp.einsum("bphd,bkhd->bhpk", q[:, :P], k,
                                  preferred_element_type=jnp.float32)
             # raw windowed channel scores: q = chan_prompts (pixel space),
@@ -104,7 +108,7 @@ class PromptedBlock(nn.Module):
         x = x + dp(x_attn, deterministic=deterministic)
         prompts = prompts + dp(p_attn, deterministic=deterministic)
 
-        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        norm2 = FusedLN(name="norm2")
         mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
         x = x + dp(mlp(norm2(x), deterministic=deterministic),
                    deterministic=deterministic)
@@ -147,35 +151,50 @@ class TaskFeatureDecode(nn.Module):
         chan = raw.raw_chan                                # (B, nwins, P, C)
         chan = chan.reshape(B, nh, nw, T, pl, C)
 
-        task_fea: Dict[str, jax.Array] = {}
-        for ti, t in enumerate(self.tasks):
-            # --- spatial decode (taskprompter.py:434-448)
-            a = spa[:, ti].transpose(0, 2, 3, 1)           # (B,gh,gw,G)
-            xg = x_map.reshape(B, gh, gw, G, gc)
-            f = (xg * a[..., None].astype(xg.dtype)).reshape(B, gh, gw, C) + x_map
-            f = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
-                        name=f"fea_decode_spa_{il}_{t}")(f)
+        # ---- stacked decode: all tasks in ONE grouped conv per stage ----
+        # (the reference loops per-task ModuleDicts, taskprompter.py:434-474;
+        # T separate small convs at 32x32 underutilize the MXU and cost op
+        # overhead x5 tasks x4 taps — the task axis merges into channels and
+        # feature_group_count=T makes each stage one large conv. BN over the
+        # merged T*final channels is exactly per-task BN.)
+        # spatial decode inputs built directly in (B,gh,gw,T,C) layout so the
+        # task-major channel merge is a free reshape, not a transpose copy
+        a_all = spa.transpose(0, 3, 4, 1, 2)               # (B,gh,gw,T,G)
+        xg = x_map.reshape(B, gh, gw, G, gc)
+        f_in = (xg[:, :, :, None] * a_all[..., None].astype(xg.dtype)
+                ).reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
+        f_in = f_in.reshape(B, gh, gw, T * C)
+        # channel decode inputs: (B,nh,wh,nw,ww,T,C) -> same trick
+        cw_all = chan[..., 0, :]                           # (B,nh,nw,T,C)
+        xw = x_map.reshape(B, nh, wh, nw, ww, C)
+        fw_in = (xw[:, :, :, :, :, None, :]
+                 * cw_all[:, :, None, :, None, :, :].astype(xw.dtype))
+        fw_in = fw_in.reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
+        fw_in = fw_in.reshape(B, gh, gw, T * C)
 
-            # --- channel decode (taskprompter.py:450-469)
-            cw = chan[:, :, :, ti, 0]                      # (B,nh,nw,C)
-            xw = x_map.reshape(B, nh, wh, nw, ww, C)
-            fw = xw * cw[:, :, None, :, None, :].astype(xw.dtype)
-            fw = fw.reshape(B, gh, gw, C) + x_map
-            fc = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
-                         name=f"fea_decode_chan_{il}_{t}")(fw)
-
-            # --- fuse (taskprompter.py:471-474)
-            cat = jnp.concatenate([f, fc], axis=-1)
-            cat = nn.Conv(self.final_dim, (1, 1), dtype=self.dtype,
-                          name=f"fea_fuse_{il}_{t}_0")(cat)
-            cat = nn.Conv(self.final_dim, (3, 3), padding="SAME", dtype=self.dtype,
-                          name=f"fea_fuse_{il}_{t}_1")(cat)
-            cat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=self.dtype,
-                               name=f"fea_fuse_{il}_{t}_bn")(cat)
-            cat = nn.gelu(cat)
-            task_fea[t] = nn.Conv(self.final_dim, (1, 1), dtype=self.dtype,
-                                  name=f"fea_fuse_{il}_{t}_2")(cat)
+        f = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
+                    dtype=self.dtype, name=f"spa_{il}")(f_in)
+        fc = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
+                     dtype=self.dtype, name=f"chan_{il}")(fw_in)
+        # per-task concat [f_t, fc_t]: interleave task-major
+        f = f.reshape(B, gh, gw, T, self.tar_dim)
+        fc = fc.reshape(B, gh, gw, T, self.tar_dim)
+        cat = jnp.concatenate([f, fc], axis=-1).reshape(
+            B, gh, gw, T * 2 * self.tar_dim)
+        cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
+                      dtype=self.dtype, name=f"fuse0_{il}")(cat)
+        cat = nn.Conv(T * self.final_dim, (3, 3), padding="SAME",
+                      feature_group_count=T, dtype=self.dtype,
+                      name=f"fuse1_{il}")(cat)
+        cat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name=f"fuse_bn_{il}")(cat)
+        cat = nn.gelu(cat)
+        cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
+                      dtype=self.dtype, name=f"fuse2_{il}")(cat)
+        stack = cat.reshape(B, gh, gw, T, self.final_dim)
+        task_fea: Dict[str, jax.Array] = {
+            t: stack[:, :, :, ti] for ti, t in enumerate(self.tasks)}
 
         if self.use_ctr:
             # Cross-Task Reweighting from prompt->prompt raw scores
@@ -261,7 +280,7 @@ class TaskPrompterViT(nn.Module):
                     task_fea[t] = task_fea[t] + fea[t]
                 il += 1
 
-        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        tokens = FusedLN(name="norm")(tokens)
         # final-layer tap reuses the last block's raw scores
         # (taskprompter.py:416-417)
         x_map = tokens.reshape(B, gh, gw, self.embed_dim)
@@ -273,8 +292,7 @@ class TaskPrompterViT(nn.Module):
         out = {}
         for t in self.tasks:
             f = task_fea[t] + fea[t]
-            f = jax.image.resize(f, (B, 4 * gh, 4 * gw, f.shape[-1]),
-                                 method="linear")
+            f = interpolate(f, (4 * gh, 4 * gw))
             out[t] = f
         return out
 

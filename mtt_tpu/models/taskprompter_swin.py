@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mtt_tpu.models.layers import ConvBNAct, DropPath, Mlp, trunc_normal
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
+                                   trunc_normal)
 
 
 def window_partition(x, ws: int):
@@ -92,7 +93,7 @@ class SwinPromptBlock(nn.Module):
         Hd = self.num_heads
         Dh = C // Hd
 
-        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm1 = FusedLN(epsilon=1e-5, name="norm1")
         spa_prompts = norm1(prompts)
         chan_prompts = nn.Dense(self.chan_embed_dim, dtype=self.dtype,
                                 name="token_trans")(prompts)
@@ -177,7 +178,7 @@ class SwinPromptBlock(nn.Module):
 
         dp = DropPath(self.drop_path, name="dp")
         x = shortcut + dp(x_attn, deterministic=deterministic)
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        norm2 = FusedLN(epsilon=1e-5, name="norm2")
         mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
         x = x + dp(mlp(norm2(x), deterministic=deterministic),
                    deterministic=deterministic)
@@ -212,7 +213,7 @@ class PatchMerging(nn.Module):
         parts = [xm[:, 0::2, 0::2], xm[:, 1::2, 0::2],
                  xm[:, 0::2, 1::2], xm[:, 1::2, 1::2]]
         xm = jnp.concatenate(parts, axis=-1).reshape(B, (H // 2) * (W // 2), 4 * C)
-        xm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xm)
+        xm = FusedLN(epsilon=1e-5, name="norm")(xm)
         xm = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
                       name="reduction")(xm)
 
@@ -256,14 +257,14 @@ class SwinTaskDecode(nn.Module):
             xg = x_map.reshape(B, gh, gw, G, gc)
             f = (xg * a[..., None].astype(xg.dtype)).reshape(B, gh, gw, C) + x_map
             if t != "3ddet":
-                f = jax.image.resize(f, (B, 2 * gh, 2 * gw, C), method="linear")
+                f = interpolate(f, (2 * gh, 2 * gw))
             f = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
                         name=f"fea_decode_spa_{il}_{t}")(f)
 
             cw = raw_chan[:, ti]                                # (B,C)
             fc = x_map * cw[:, None, None, :].astype(x_map.dtype) + x_map
             if t != "3ddet":
-                fc = jax.image.resize(fc, (B, 2 * gh, 2 * gw, C), method="linear")
+                fc = interpolate(fc, (2 * gh, 2 * gw))
             fc = nn.Conv(self.tar_dim, (1, 1), dtype=self.dtype,
                          name=f"fea_decode_chan_{il}_{t}")(fc)
 
@@ -314,7 +315,7 @@ class TaskPrompterSwin(nn.Module):
         x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
                     padding="VALID", dtype=self.dtype, name="patch_embed")(x)
         B, gh, gw, _ = x.shape
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(
+        x = FusedLN(epsilon=1e-5, name="patch_norm")(
             x).reshape(B, gh * gw, self.embed_dim)
 
         task_prompts = self.param("task_prompts", trunc_normal(std=1.0, mean=1.0),
@@ -363,7 +364,7 @@ class TaskPrompterSwin(nn.Module):
                     name=f"merge_{il}")(x, prompts, raw)
                 res = (res[0] // 2, res[1] // 2)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = FusedLN(epsilon=1e-5, name="norm")(x)
         fea = SwinTaskDecode(self.tasks, self.num_heads[-1], self.prompt_len,
                              self.tar_dim, self.final_dim, n_layers - 1,
                              self.dtype, name=f"decode_{n_layers - 1}")(
@@ -379,7 +380,7 @@ class TaskPrompterSwin(nn.Module):
                 continue
             tgt = task_fea[t][0].shape[1:3]
             summed = sum(
-                jax.image.resize(f, (B, tgt[0], tgt[1], f.shape[-1]),
+                interpolate(f, tgt) if tgt[0] >= f.shape[1] else jax.image.resize(f, (B, tgt[0], tgt[1], f.shape[-1]),
                                  method="linear") for f in task_fea[t])
             out[t] = nn.Conv(self.final_dim, (3, 3), padding="SAME",
                              dtype=self.dtype, name=f"multi_scale_fuse_{t}")(summed)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mtt_tpu.models.layers import PatchEmbed, ViTBlock, trunc_normal
+from mtt_tpu.models.layers import FusedLN, PatchEmbed, ViTBlock, trunc_normal
 
 
 def resize_pos_embed(pos_embed: jax.Array, new_grid: Tuple[int, int],
@@ -81,7 +81,7 @@ class VisionTransformer(nn.Module):
             if (i + 1) in self.select_list:
                 taps.append(tokens[:, 1:])
 
-        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        tokens = FusedLN(name="norm")(tokens)
         final = tokens[:, 1:]
         taps.append(final)
         return final, taps

@@ -95,16 +95,23 @@ def test_taskprompter_full_conversion():
 
     sd = make_taskprompter_sd(np.random.default_rng(0))
     out = convert_full_checkpoint(sd, dict(variables), "TaskPrompter",
-                                  list(TASKS), DEPTH, use_ctr=True)
+                                  list(TASKS), DEPTH, heads=HEADS,
+                                  use_ctr=True)
     # converted tree must run
     y = model.apply({"params": out["params"],
                      "batch_stats": out["batch_stats"]}, x, train=False)
     for t in TASKS:
         assert y[t].shape == (1, 64, 64, NUM_OUT[t])
         assert np.isfinite(np.asarray(y[t])).all()
-    # spot-check an actual weight landed (not init): qkv kernel of block 0
+    # spot-check an actual weight landed (not init): attn proj of block 0
+    got = np.asarray(out["params"]["backbone"]["blocks_0"]["proj"]["kernel"])
+    want = sd["backbone.blocks.0.attn.proj.weight"].T
+    np.testing.assert_allclose(got, want, atol=0)
+    # qkv columns must be HEAD-MAJOR reordered
     got = np.asarray(out["params"]["backbone"]["blocks_0"]["qkv"]["kernel"])
-    want = sd["backbone.blocks.0.attn.qkv.weight"].T
+    w = sd["backbone.blocks.0.attn.qkv.weight"].T
+    D = E // HEADS
+    want = w.reshape(E, 3, HEADS, D).transpose(0, 2, 1, 3).reshape(E, 3 * E)
     np.testing.assert_allclose(got, want, atol=0)
 
 
@@ -120,10 +127,10 @@ def test_taskprompter_conversion_fails_loudly_on_missing():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32))
     sd = make_taskprompter_sd(np.random.default_rng(0))
-    del sd["backbone.blocks.0.attn.qkv.weight"]
+    del sd["backbone.blocks.0.attn.qkv.bias"]
     with pytest.raises(KeyError):
         convert_full_checkpoint(sd, dict(variables), "TaskPrompter",
-                                list(TASKS), DEPTH)
+                                list(TASKS), DEPTH, heads=HEADS)
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +222,7 @@ def test_transformer_net_full_conversion():
 
     sd = make_invpt_sd(np.random.default_rng(1))
     out = convert_full_checkpoint(sd, dict(variables), "TransformerNet",
-                                  list(TASKS), DEPTH)
+                                  list(TASKS), DEPTH, heads=HEADS)
     y = model.apply({"params": out["params"],
                      "batch_stats": out["batch_stats"]}, x, train=False)
     for t in TASKS:

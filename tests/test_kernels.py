@@ -53,3 +53,36 @@ def test_cross_len_attention():
     out = fused_attention(q, k, v, impl="interpret")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_qkv_direct_attention_matches_xla():
+    """fused_attention_qkv pallas(interpret) vs xla on the head-major qkv
+    layout, plus gradient path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(5)
+    B, N, H, D = 2, 100, 2, 64
+    qkv = jnp.asarray(rng.normal(size=(B, N, H * 3 * D)).astype(np.float32))
+    ref = fused_attention_qkv(qkv, H, D ** -0.5, impl="xla")
+    out = fused_attention_qkv(qkv, H, D ** -0.5, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_fused(qkv):
+        return (fused_attention_qkv(qkv, H, D ** -0.5, impl="xla") ** 2).sum()
+
+    def loss_plain(qkv):
+        q5 = qkv.reshape(B, N, H, 3, D)
+        q, k, v = q5[:, :, :, 0], q5[:, :, :, 1], q5[:, :, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (D ** -0.5)
+        p = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        return (o ** 2).sum()
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_plain)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)

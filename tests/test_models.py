@@ -83,3 +83,21 @@ def test_taskprompter_prompts_affect_output():
     pert["params"]["task_prompts"] = variables["params"]["task_prompts"] + 1.0
     out2 = m.apply(pert, x)
     assert float(jnp.abs(out1["semseg"] - out2["semseg"]).max()) > 1e-6
+
+
+def test_upsample_matmul_matches_jax_image_resize():
+    """interpolate()'s matmul path must equal jax.image.resize 'linear'
+    for upsampling (the model's 2x/4x upsamples ride this path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.models.layers import interpolate
+
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(32, 32, 128, 128), (8, 8, 16, 16),
+                           (16, 24, 33, 50), (128, 128, 512, 512)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+        ref = jax.image.resize(x, (2, oh, ow, 5), method="linear")
+        got = interpolate(x, (oh, ow))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

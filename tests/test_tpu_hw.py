@@ -89,6 +89,21 @@ class TestPallasKernelsOnTPU:
         # bf16 IO: tolerance is one bf16 ulp of the output scale
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
+    def test_qkv_direct_attention_pallas_vs_xla(self):
+        # the backbone's production path: fused qkv tensor in head-major
+        # column order, bf16, bench shape
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import fused_attention_qkv
+        rng = _rng(4)
+        B, N, H, D = 2, 1029, 16, 64
+        qkv = jnp.asarray(rng.normal(size=(B, N, H * 3 * D)).astype(
+            np.float32), jnp.bfloat16)
+        ref = np.asarray(fused_attention_qkv(qkv, H, D ** -0.5, impl="xla"),
+                         np.float32)
+        out = np.asarray(fused_attention_qkv(qkv, H, D ** -0.5,
+                                             impl="pallas"), np.float32)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
     def test_invpt_message_kernel_pallas_vs_xla(self):
         # InvPT stage-2 shape: 5 tasks x 32x32 q (stride 2 -> 1280),
         # kv 5x8x8=320, 2 heads of 64
