@@ -1,0 +1,159 @@
+"""Fused transformer-MLP Pallas kernel: x @ W1 + b1 -> gelu -> @ W2 + b2.
+
+XLA serializes the exact-erf gelu with the fc2 matmul inside one fusion
+(profiled 0.85 ms vs 0.36 ms for the bare matmul per ViT-L block); this
+kernel splits the hidden dim into column blocks so Mosaic can overlap the
+VPU gelu of one sub-block with the MXU matmuls of the next, and keeps the
+(M, 4C) hidden activation entirely in VMEM (never round-trips to HBM).
+
+gelu uses an Abramowitz-Stegun 7.1.26 erf (|err| <= 1.5e-7 — fp32-grade,
+far below bf16 output resolution; Pallas TPU lowers no erf primitive).
+
+Backward: recompute-based custom VJP in XLA (exact erf), matching the
+attention kernels' strategy — HBM-cheap, MXU-heavy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _gelu_erf_poly(h):
+    """Exact-form gelu with a minimax erf (A&S 7.1.26, |err|<=1.5e-7)."""
+    z = h * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * h * (1.0 + erf_z)
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
+                *, nsub: int):
+    xb = x_ref[...]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    h = jax.lax.dot_general(xb, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _gelu_erf_poly(h + b1_ref[0]).astype(xb.dtype)
+    acc[...] += jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(j == nsub - 1)
+    def _():
+        o_ref[...] = (acc[...] + b2_ref[0]).astype(o_ref.dtype)
+
+
+def _mlp_pallas(x2, w1, b1, w2, b2, block_m: int = 512,
+                block_h: int = 1024, interpret: bool = False):
+    M, C = x2.shape
+    H = w1.shape[1]
+    Mp = (M + block_m - 1) // block_m * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+    block_h = min(block_h, H)
+    nsub = H // block_h
+    kwargs = {"scratch_shapes": [pltpu.VMEM((block_m, C), jnp.float32)]} \
+        if pltpu is not None else {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, nsub=nsub),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
+        grid=(Mp // block_m, nsub),
+        in_specs=[
+            pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((C, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((block_h, C), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out[:M]
+
+
+def _mlp_xla(x2, w1, b1, w2, b2):
+    h = jax.lax.dot_general(x2, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
+    out = jax.lax.dot_general(h.astype(x2.dtype), w2,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (out + b2.astype(jnp.float32)).astype(x2.dtype)
+
+
+def _pallas_ok(x2, w1) -> bool:
+    C, H = w1.shape
+    # weights in lane-aligned blocks; scratch + operands within VMEM
+    return C % 128 == 0 and H % 1024 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_mlp(x2, w1, b1, w2, b2, impl: str):
+    if impl == "pallas" and pltpu is not None and _pallas_ok(x2, w1):
+        return _mlp_pallas(x2, w1, b1, w2, b2)
+    if impl == "interpret" and pltpu is not None and _pallas_ok(x2, w1):
+        return _mlp_pallas(x2, w1, b1, w2, b2, interpret=True)
+    return _mlp_xla(x2, w1, b1, w2, b2)
+
+
+def _fwd(x2, w1, b1, w2, b2, impl):
+    return _fused_mlp(x2, w1, b1, w2, b2, impl), (x2, w1, b1, w2)
+
+
+def _bwd(impl, res, g):
+    x2, w1, b1, w2 = res
+    xf = x2.astype(jnp.float32)
+    pre = jax.lax.dot_general(xf, w1.astype(jnp.float32),
+                              (((1,), (0,)), ((), ()))) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(pre, approximate=False)
+    gf = g.astype(jnp.float32)
+    db2 = gf.sum(0)
+    dw2 = jax.lax.dot_general(h, gf, (((0,), (0,)), ((), ())))
+    dh = jax.lax.dot_general(gf, w2.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())))
+    # d gelu(x)/dx = Phi(x) + x phi(x)
+    inv_sqrt2 = 2.0 ** -0.5
+    phi = jnp.exp(-0.5 * pre * pre) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    Phi = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
+    dpre = dh * (Phi + pre * phi)
+    db1 = dpre.sum(0)
+    dw1 = jax.lax.dot_general(xf, dpre, (((0,), (0,)), ((), ())))
+    dx = jax.lax.dot_general(dpre, w1.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())))
+    return (dx.astype(x2.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b1.dtype))
+
+
+_fused_mlp.defvjp(_fwd, _bwd)
+
+
+def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
+    """Transformer MLP over (..., C) with hidden dim w1.shape[1]."""
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_MLP_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    shape = x.shape
+    out = _fused_mlp(x.reshape(-1, shape[-1]), w1, b1, w2, b2, impl)
+    return out.reshape(shape)

@@ -38,8 +38,26 @@ class FusedLN(nn.Module):
         return fused_layernorm(x, scale, bias, self.epsilon)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-layout params (kernel/bias) without computing —
+    lets Mlp route through the fused Pallas kernel while keeping a tree
+    identical to two nn.Dense submodules."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 -> GELU -> fc2 (timm Mlp equivalent)."""
+    """Transformer MLP: fc1 -> GELU(exact) -> fc2 (timm Mlp equivalent).
+
+    Runs as one fused Pallas kernel on TPU (mtt_tpu.kernels.mlp): the
+    (M, 4C) hidden activation never leaves VMEM and the VPU gelu overlaps
+    the MXU matmuls across hidden-column blocks."""
     hidden_features: int
     out_features: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
@@ -48,14 +66,18 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_dim = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        C = x.shape[-1]
+        w1, b1 = _DenseParams(self.hidden_features, name="fc1")(C)
+        w2, b2 = _DenseParams(out_dim, name="fc2")(self.hidden_features)
+        if self.drop == 0.0:
+            from mtt_tpu.kernels.mlp import fused_mlp
+            return fused_mlp(x, w1.astype(self.dtype), b1,
+                             w2.astype(self.dtype), b2)
+        x = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
         x = nn.gelu(x, approximate=False)
-        if self.drop > 0.0:
-            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
-        if self.drop > 0.0:
-            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        return x
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = x @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        return nn.Dropout(self.drop)(x, deterministic=deterministic)
 
 
 class DropPath(nn.Module):

@@ -86,3 +86,36 @@ def test_qkv_direct_attention_matches_xla():
     g2 = jax.grad(loss_plain)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_mlp_matches_xla():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.mlp import fused_mlp
+
+    rng = np.random.default_rng(6)
+    M, C, H = 100, 128, 1024  # pallas path needs C%128==0, H%1024==0
+    x = jnp.asarray(rng.normal(size=(2, 50, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    ref = fused_mlp(x, w1, b1, w2, b2, impl="xla")
+    out = fused_mlp(x, w1, b1, w2, b2, impl="interpret")
+    # interpret path uses the A&S poly erf (|err|<=1.5e-7 per element)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+    def loss_f(x, w1, b1, w2, b2):
+        return (fused_mlp(x, w1, b1, w2, b2, impl="xla") ** 2).sum()
+
+    def loss_p(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        return ((h @ w2 + b2) ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
