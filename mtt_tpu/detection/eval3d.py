@@ -88,6 +88,7 @@ class Box3dEvaluator:
         self.depth_bins = list(range(0, max_depth + 1, step_size))
         self.gts: Dict[str, List[dict]] = {}
         self.preds: Dict[str, List[dict]] = {}
+        self.ignores: Dict[str, List[np.ndarray]] = {}
 
     # --- data ingestion -------------------------------------------------
     @staticmethod
@@ -103,15 +104,26 @@ class Box3dEvaluator:
             "rotation": np.asarray(o["3d"]["rotation"], np.float64),
             "modal": np.asarray(o["2d"]["modal"], np.float64),
             "score": float(o.get("score", 1.0)),
-            "depth": float(np.hypot(c[0], c[1])),
+            # CsBbox3d.depth is the INT BEV distance (astype(int) in
+            # cityscapesscripts.helpers.annotation); binning must match
+            "depth": float(int(np.hypot(c[0], c[1]))),
         }
 
     def add_image(self, name: str, gt_objects: List[dict],
-                  pred_objects: List[dict]):
+                  pred_objects: List[dict], ignore_objects: List[dict] = ()):
         self.gts[name] = [g for g in (self._norm_obj(o) for o in gt_objects)
                           if g and g["label"] in self.labels]
         self.preds[name] = [p for p in (self._norm_obj(o) for o in pred_objects)
                             if p and p["label"] in self.labels]
+        # official "ignore" regions: 2D boxes that absorb would-be FPs
+        # (evalObjectDetection3d.py:485-502)
+        ign = []
+        for o in ignore_objects:
+            if "2d" in o:
+                ign.append(np.asarray(o["2d"], np.float64))
+            elif "bbox" in o:
+                ign.append(np.asarray(o["bbox"], np.float64))
+        self.ignores[name] = ign
 
     def load_folders(self, gt_folder: str, pred_folder: str):
         for root, _, names in os.walk(gt_folder):
@@ -126,7 +138,8 @@ class Box3dEvaluator:
                 if os.path.isfile(pred_path):
                     with open(pred_path) as f:
                         preds = json.load(f).get("objects", [])
-                self.add_image(base, gt.get("objects", []), preds)
+                self.add_image(base, gt.get("objects", []), preds,
+                               gt.get("ignore", []))
 
     # --- evaluation ------------------------------------------------------
     def _match_at(self, score_thr: float):
@@ -146,9 +159,29 @@ class Box3dEvaluator:
                 gm, pm = _greedy_matches(_iou_matrix(gt_b, pr_b), self.min_iou)
                 tp_gt = [gt_idx[i] for i in gm]
                 tp_pr = [pr_idx[i] for i in pm]
+                fp_pr = [i for i in pr_idx if i not in tp_pr]
+                # FPs overlapping an ignore region (intersection over pred
+                # area > min_iou) are absorbed (:485-502; matchIgnores=True
+                # means one ignore box can absorb many preds)
+                ign = self.ignores.get(name, [])
+                if fp_pr and len(ign):
+                    ib = np.asarray(ign)
+                    pb = np.asarray([self.preds[name][i]["modal"]
+                                     for i in fp_pr])
+                    ix1 = np.maximum(ib[:, None, 0], pb[None, :, 0])
+                    iy1 = np.maximum(ib[:, None, 1], pb[None, :, 1])
+                    ix2 = np.minimum(ib[:, None, 2], pb[None, :, 2])
+                    iy2 = np.minimum(ib[:, None, 3], pb[None, :, 3])
+                    inter = (np.maximum(ix2 - ix1, 0)
+                             * np.maximum(iy2 - iy1, 0))
+                    pa = np.maximum((pb[:, 2] - pb[:, 0])
+                                    * (pb[:, 3] - pb[:, 1]), 1e-9)
+                    ov = (inter / pa[None, :]).max(axis=0)
+                    fp_pr = [i for i, o in zip(fp_pr, ov)
+                             if o <= self.min_iou]
                 rec[lbl] = {
                     "tp_gt": tp_gt, "tp_pr": tp_pr,
-                    "fp_pr": [i for i in pr_idx if i not in tp_pr],
+                    "fp_pr": fp_pr,
                     "fn_gt": [i for i in gt_idx if i not in tp_gt],
                 }
             out[name] = rec
@@ -243,10 +276,17 @@ class Box3dEvaluator:
                 v["Center_Dist"] + v["Size_Similarity"] + v["OS_Yaw"] +
                 v["OS_Pitch_Roll"]) / 4.0
 
+        # means run over classes that HAVE ground truth only
+        # (evalObjectDetection3d.py:798-805 accept_cats)
+        gt_counts = {l: sum(1 for objs in self.gts.values()
+                            for g in objs if g["label"] == l)
+                     for l in self.labels}
+        accept = [l for l in self.labels if gt_counts[l] > 0] or self.labels
+        results["GT_stats"] = gt_counts
         results["mDetection_Score"] = float(np.mean(
-            list(results["Detection_Score"].values())))
+            [results["Detection_Score"][l] for l in accept]))
         results["mAP"] = float(np.mean(
-            [results["AP"][l]["auc"] for l in self.labels]))
+            [results["AP"][l]["auc"] for l in accept]))
         results["working_confidence"] = working
         results["pr_curves"] = pr_curves
         return results

@@ -115,6 +115,12 @@ class SaliencyMeter:
         if gt.ndim == pred.ndim + 1:
             gt = gt[..., 0]
         probs = pred.astype(jnp.float32) / 255.0
+        # The reference squashes the [0,1] prediction through sigmoid AGAIN
+        # before thresholding (eval_sal.py:42-43: same-rank preds hit the
+        # `torch.sigmoid` branch), so the effective thresholds are
+        # logit(t) for t in (0.5, 0.73). Replicated deliberately — maxF over
+        # this threshold set differs from uniform-threshold maxF.
+        probs = jax.nn.sigmoid(probs)
         valid = gt != self.ignore_index
         tgt = jnp.where(valid, gt, 0).astype(jnp.float32)
         th = jnp.asarray(self.thresholds, jnp.float32)
@@ -164,9 +170,10 @@ class DepthMeter:
             pred = pred[..., 0]
         valid = gt != self.ignore_index
         if self.max_depth is not None:
-            # Cityscapes eval range (TaskPrompter/evaluation/eval_depth.py)
-            valid = valid & (gt > (self.min_depth or 0.0)) & (gt <= self.max_depth)
-            pred = jnp.clip(pred, self.min_depth or 0.0, self.max_depth)
+            # Cityscapes eval range, STRICT bounds and no pred clamping
+            # (TaskPrompter/evaluation/eval_depth.py:36-42 — its clamp is
+            # commented out; only non-positive values are floored)
+            valid = valid & (gt > (self.min_depth or 0.0)) & (gt < self.max_depth)
         gt = jnp.maximum(gt, 1e-9)
         pred = jnp.maximum(pred, 1e-9)
         d = jnp.where(valid, gt - pred, 0.0)

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
-                                   trunc_normal)
+                                   interpolate, trunc_normal)
 
 
 def window_partition(x, ws: int):
