@@ -259,6 +259,153 @@ def map_taskprompter_net(sd: Dict[str, np.ndarray], tasks: List[str],
 
 
 # ---------------------------------------------------------------------------
+# TaskPrompter Swin (Cityscapes-3D) + FPN + FCOS3D detection head
+# ---------------------------------------------------------------------------
+
+def map_taskprompter_swin(sd: Dict[str, np.ndarray], tasks: List[str],
+                          depths=(2, 2, 18, 2), num_outs: int = 5,
+                          stacked_convs: int = 3,
+                          cls_branch=(256, 128),
+                          reg_branch=((256,),) * 5,
+                          dir_branch=(256,), centerness_branch=(256,),
+                          scale_dim: int = 4, n_fpn_in: int = 4) -> Mapper:
+    """TaskPrompterSwinNet: backbone.* (taskprompter_swin.py:236-655) +
+    heads.{t} DEConvHead + heads.3ddet FCOS3D (det_head.py:128-317 +
+    fpn.py:105-130) -> flax entries."""
+    m = Mapper(sd)
+    b = "backbone."
+    m.conv("backbone/patch_embed", b + "patch_embed.proj")
+    m.ln("backbone/patch_norm", b + "patch_embed.norm")
+    m.put("params", "backbone/task_prompts", m.take(b + "task_prompts"))
+    n_layers = len(depths)
+    for il in range(n_layers):
+        for d in range(depths[il]):
+            tb = b + f"layers.{il}.blocks.{d}"
+            fb = f"backbone/layer{il}_block{d}"
+            m.ln(fb + "/norm1", tb + ".norm1")
+            m.ln(fb + "/norm2", tb + ".norm2")
+            m.put("params", fb + "/relative_position_bias_table",
+                  m.take(tb + ".attn.relative_position_bias_table"))
+            m.used.add(tb + ".attn.relative_position_index")  # buffer
+            if d % 2 == 1:
+                m.used.add(tb + ".attn_mask")                 # buffer
+            m.dense(fb + "/qkv", tb + ".attn.qkv")
+            m.dense(fb + "/proj", tb + ".attn.proj")
+            m.dense(fb + "/token_trans", tb + ".token_trans")
+            m.dense(fb + "/chan_q", tb + ".chan_q")
+            m.dense(fb + "/chan_kv", tb + ".chan_kv")
+            last_block = (il == n_layers - 1) and (d == depths[il] - 1)
+            if not last_block:
+                m.dense(fb + "/chan_proj", tb + ".chan_proj")
+                m.dense(fb + "/token_trans1", tb + ".token_trans1")
+            m.dense(fb + "/mlp/fc1", tb + ".mlp.fc1")
+            m.dense(fb + "/mlp/fc2", tb + ".mlp.fc2")
+        if il < n_layers - 1:
+            td = b + f"layers.{il}.downsample"
+            fd = f"backbone/merge_{il}"
+            m.ln(fd + "/norm", td + ".norm")
+            m.dense(fd + "/reduction", td + ".reduction", bias=False)
+            m.dense(fd + "/process_chan_attn", td + ".process_chan_attn",
+                    bias=False)
+            m.dense(fd + "/task_prompts_up", td + ".task_prompts_up",
+                    bias=False)
+            m.conv(fd + "/spa_attn_ds", td + ".spa_attn_ds")
+    m.ln("backbone/norm", b + "norm")
+
+    for il in range(n_layers):
+        fd = f"backbone/decode_{il}"
+        for t in tasks:
+            m.conv(f"{fd}/fea_decode_spa_{il}_{t}",
+                   b + f"fea_decode_spa.{il}.{t}.0")
+            m.conv(f"{fd}/fea_decode_chan_{il}_{t}",
+                   b + f"fea_decode_chan.{il}.{t}.0")
+            m.conv(f"{fd}/fea_fuse_{il}_{t}_0", b + f"fea_fuse.{il}.{t}.0")
+            m.conv(f"{fd}/fea_fuse_{il}_{t}_1", b + f"fea_fuse.{il}.{t}.1")
+            m.bn(f"{fd}/fea_fuse_{il}_{t}_bn", b + f"fea_fuse.{il}.{t}.2")
+            m.conv(f"{fd}/fea_fuse_{il}_{t}_2", b + f"fea_fuse.{il}.{t}.4")
+    for t in tasks:
+        if t != "3ddet":
+            m.conv(f"backbone/multi_scale_fuse_{t}",
+                   b + f"multi_scale_fuse.{t}")
+
+    # 2D heads (DEConvHead, taskprompter.py:700-715)
+    for t in tasks:
+        if t == "3ddet":
+            continue
+        h = f"heads.{t}."
+        m.conv_t(f"head_{t}/deconv", h + "mt_proj.0")
+        m.bn(f"head_{t}/bn1", h + "mt_proj.1")
+        m.conv(f"head_{t}/conv", h + "mt_proj.3")
+        m.bn(f"head_{t}/bn2", h + "mt_proj.4")
+        m.conv(f"head_{t}/linear_pred", h + "linear_pred")
+
+    if "3ddet" not in tasks:
+        return m
+
+    # ---- detection head ----
+    dh = "heads.3ddet."
+    fh = "det_head/fcos3d"
+
+    def _dcn_kernel(v):
+        # torch DCNv2 weight (O, C, kh, kw) -> our flattened gather-matmul
+        # kernel (kh*kw*C, O), kernel-position-major (deform_conv.py:84-86)
+        O_, C_, kh, kw = v.shape
+        return np.ascontiguousarray(
+            np.transpose(v, (2, 3, 1, 0)).reshape(kh * kw * C_, O_))
+
+    def conv_gn(flax_prefix, torch_prefix, dcn: bool):
+        if dcn:
+            m.put("params", flax_prefix + "/dcn/kernel",
+                  m.take(torch_prefix + ".conv.weight", _dcn_kernel))
+            if torch_prefix + ".conv.bias" in m.sd:
+                m.put("params", flax_prefix + "/dcn/bias",
+                      m.take(torch_prefix + ".conv.bias"))
+            # offset/mask conv: channel order matches (y,x interleaved per
+            # kernel point, then 9 mask channels)
+            m.conv(flax_prefix + "/dcn/offset_mask",
+                   torch_prefix + ".conv.conv_offset")
+        else:
+            m.conv(flax_prefix + "/conv", torch_prefix + ".conv")
+        m.ln(flax_prefix + "/gn", torch_prefix + ".gn")
+
+    # FPN neck: first n_fpn_in fpn_convs are output convs, rest extra
+    for i in range(n_fpn_in):
+        m.conv(f"det_head/fpn/lateral_{i}", dh + f"neck.lateral_convs.{i}.conv")
+        m.conv(f"det_head/fpn/fpn_conv_{i}", dh + f"neck.fpn_convs.{i}.conv")
+    for j in range(num_outs - n_fpn_in):
+        m.conv(f"det_head/fpn/extra_conv_{j}",
+               dh + f"neck.fpn_convs.{n_fpn_in + j}.conv")
+
+    for i in range(stacked_convs):
+        dcn = i == stacked_convs - 1
+        conv_gn(f"{fh}/cls_tower_{i}", dh + f"cls_convs.{i}", dcn)
+        conv_gn(f"{fh}/reg_tower_{i}", dh + f"reg_convs.{i}", dcn)
+    for i in range(len(cls_branch)):
+        conv_gn(f"{fh}/cls_branch/conv_{i}", dh + f"conv_cls_prev.{i}", False)
+    m.conv(f"{fh}/conv_cls", dh + "conv_cls")
+    for gi, branch in enumerate(reg_branch):
+        for i in range(len(branch)):
+            conv_gn(f"{fh}/reg_branch_{gi}/conv_{i}",
+                    dh + f"conv_reg_prevs.{gi}.{i}", False)
+        m.conv(f"{fh}/conv_reg_{gi}", dh + f"conv_regs.{gi}")
+    for i in range(len(dir_branch)):
+        conv_gn(f"{fh}/dir_branch/conv_{i}", dh + f"conv_dir_cls_prev.{i}",
+                False)
+    m.conv(f"{fh}/conv_dir_cls", dh + "conv_dir_cls")
+    for i in range(len(centerness_branch)):
+        conv_gn(f"{fh}/ctr_branch/conv_{i}",
+                dh + f"conv_centerness_prev.{i}", False)
+    m.conv(f"{fh}/conv_centerness", dh + "conv_centerness")
+
+    # per-level Scale scalars -> (num_levels, scale_dim) param
+    m.put("params", f"{fh}/scales", m.take_many(
+        [dh + f"scales.{lvl}.{j}.scale"
+         for lvl in range(num_outs) for j in range(scale_dim)],
+        lambda vs: np.asarray(vs, np.float32).reshape(num_outs, scale_dim)))
+    return m
+
+
+# ---------------------------------------------------------------------------
 # InvPT TransformerNet
 # ---------------------------------------------------------------------------
 
@@ -475,13 +622,15 @@ def convert_full_checkpoint(sd: Dict[str, np.ndarray], variables: Dict,
     backbone head count (needed for the qkv column reorder); defaults to
     C // 64 inferred from the qkv weight.
     """
-    if heads is None:
+    if heads is None and model_kind != "TaskPrompterSwin":
         qk = [k for k in sd if k.endswith(".attn.qkv.weight")][0]
         heads = sd[qk].shape[1] // 64
     if model_kind == "TransformerNet":
         m = map_transformer_net(sd, tasks, depth, heads)
     elif model_kind == "TaskPrompter":
         m = map_taskprompter_net(sd, tasks, depth, heads, use_ctr=use_ctr)
+    elif model_kind == "TaskPrompterSwin":
+        m = map_taskprompter_swin(sd, tasks)
     else:
         raise ValueError(f"unknown model kind {model_kind}")
     out = apply_entries(variables, m)

@@ -83,8 +83,10 @@ class SwinPromptBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prompts, *, need_taps: bool = False,
+    def __call__(self, x, prompts, need_taps: bool = False,
                  deterministic: bool = True):
+        # need_taps/deterministic are positional so nn.remat can mark them
+        # static (static_argnums counts self as 0)
         H, W = self.resolution
         ws = min(self.window_size, H, W)
         shift = self.shift_size if ws == self.window_size else 0
@@ -299,6 +301,9 @@ class TaskPrompterSwin(nn.Module):
     img_ds_ratio: float = 1.0
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1
+    remat: bool = False             # jax.checkpoint each block: Swin-B at
+                                    # 768x1536 training exceeds 16 GB HBM
+                                    # without rematerialisation
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -335,9 +340,11 @@ class TaskPrompterSwin(nn.Module):
         raw = None
         for il in range(n_layers):
             last_layer = il == n_layers - 1
+            block_cls = (nn.remat(SwinPromptBlock, static_argnums=(3, 4))
+                         if self.remat else SwinPromptBlock)
             for d in range(self.depths[il]):
                 last_of_stage = d == self.depths[il] - 1
-                x, prompts, r = SwinPromptBlock(
+                x, prompts, r = block_cls(
                     dim=dims[il], resolution=res, num_heads=self.num_heads[il],
                     window_size=self.window_size,
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
@@ -345,8 +352,7 @@ class TaskPrompterSwin(nn.Module):
                     last_block=last_layer and last_of_stage,
                     mlp_ratio=self.mlp_ratio, drop_path=dpr[blk_i],
                     dtype=self.dtype, name=f"layer{il}_block{d}")(
-                        x, prompts, need_taps=last_of_stage,
-                        deterministic=not train)
+                        x, prompts, last_of_stage, not train)
                 if r is not None:
                     raw = r
                 blk_i += 1

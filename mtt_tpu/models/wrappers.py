@@ -118,6 +118,7 @@ class TaskPrompterSwinNet(nn.Module):
     prompt_len: int = 1
     chan_embed_dim: int = 256
     img_ds_ratio: float = 1.0
+    remat: bool = False
     target_size: Optional[Tuple[int, int]] = None
     det_cfg: Optional[dict] = None
     # Swin-B topology defaults (taskprompter_swin_base_patch4_window12_384)
@@ -139,7 +140,8 @@ class TaskPrompterSwinNet(nn.Module):
             num_heads=self.num_heads, window_size=self.window_size,
             prompt_len=self.prompt_len, chan_embed_dim=self.chan_embed_dim,
             tar_dim=self.tar_dim, final_dim=self.final_dim,
-            img_ds_ratio=self.img_ds_ratio, dtype=self.dtype, name="backbone")
+            img_ds_ratio=self.img_ds_ratio, remat=self.remat,
+            dtype=self.dtype, name="backbone")
         task_features = backbone(x, train=train)
 
         head_cls = HEADS[self.head_name]
@@ -177,6 +179,7 @@ def build_taskprompter_swin(p, dtype=jnp.float32):
         final_dim=p["final_embed_dim"], prompt_len=p["prompt_len"],
         chan_embed_dim=p.get("chan_embed_dim", 256),
         img_ds_ratio=float(p.get("img_ds_ratio", 1.0)),
+        remat=bool(p.get("remat", False)),
         target_size=tuple(p["dd_label_map_size"]) if "dd_label_map_size" in p else None,
         det_cfg=p.get("det_cfg"), dtype=dtype)
 

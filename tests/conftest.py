@@ -42,6 +42,10 @@ def pytest_configure(config):
 
 def pytest_report_header(config):
     import jax
+    # persistent compile cache: the suite is dominated by XLA CPU compiles
+    # of repeated tiny models; cache hits cut the wall time across runs
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     return (f"jax backend: {jax.default_backend()} "
             f"({len(jax.devices())} devices)"
             + (" [TPU hardware run]" if _ON_TPU else " [sanitized CPU]"))

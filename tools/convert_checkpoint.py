@@ -67,8 +67,11 @@ def main():
         sd = {k.replace("module.", ""): np.asarray(v) for k, v in sd.items()}
         variables = {"params": params,
                      "batch_stats": jax.device_get(state.batch_stats)}
+        kind = p["model"]
+        if kind == "TaskPrompter" and "swin" in p["backbone"].lower():
+            kind = "TaskPrompterSwin"
         variables = convert_full_checkpoint(
-            sd, variables, p["model"], list(p.TASKS.NAMES), depth,
+            sd, variables, kind, list(p.TASKS.NAMES), depth,
             use_ctr=bool(p.get("use_ctr", False)))
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
