@@ -43,10 +43,17 @@ class PromptBlockOut:
 
 class PromptedBlock(nn.Module):
     """One TaskPrompter transformer block (reference Block + Attention,
-    taskprompter.py:168-279). Returns updated (x, prompts) and, when
-    ``need_taps``, the raw attention scores used for task-feature decoding.
+    taskprompter.py:168-279). Operates on the JOINT token stream
+    ``[prompts; patches]`` of shape (B, P+N, C): the reference applies the
+    same norm/mlp weights to both row groups separately, which is
+    row-wise identical to one call on the concatenation — and one call
+    means one Pallas dispatch (norm, attention, MLP) per stage instead of
+    two, and no per-block concat/split copies. Returns the updated joint
+    stream and, when ``need_taps``, the raw attention scores used for
+    task-feature decoding.
     """
     num_heads: int
+    num_prompts: int                   # P = tasks * prompt_len
     chan_windows: Tuple[int, int]      # (nh, nw) channel-attention windows
     grid: Tuple[int, int]              # (gh, gw) patch grid
     mlp_ratio: float = 4.0
@@ -54,41 +61,60 @@ class PromptedBlock(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, prompts, *, need_taps: bool = False,
-                 deterministic: bool = True):
-        B, N, C = x.shape
-        P = prompts.shape[1]
-        norm1 = FusedLN(name="norm1")
-        xn = norm1(x)
-        pn = norm1(prompts)
+    def _row_drop(self, branch, *, deterministic: bool):
+        """Stochastic depth with INDEPENDENT per-sample masks for the
+        prompt rows and the patch rows, matching the reference's two
+        separate drop_path calls (taskprompter.py:273-278)."""
+        if self.drop_path == 0.0 or deterministic:
+            return branch
+        B = branch.shape[0]
+        P = self.num_prompts
+        N = branch.shape[1] - P
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (B, 2, 1)) / keep
+        rowmask = jnp.concatenate(
+            [jnp.broadcast_to(mask[:, :1], (B, P, 1)),
+             jnp.broadcast_to(mask[:, 1:], (B, N, 1))], axis=1)
+        return branch * rowmask.astype(branch.dtype)
 
-        joint = jnp.concatenate([pn, xn], axis=1)
+    @nn.compact
+    def __call__(self, joint, *, need_taps: bool = False,
+                 deterministic: bool = True):
+        B, M, C = joint.shape
+        P = self.num_prompts
+        N = M - P
+        jn = FusedLN(name="norm1")(joint)
+
         # qkv kernel columns stored HEAD-MAJOR (H, 3, D) — see layers.Attention
         from mtt_tpu.kernels.attention import fused_attention_qkv
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(joint)
+                       name="qkv")(jn)
         H, D = self.num_heads, C // self.num_heads
 
         out = fused_attention_qkv(qkv, H, D ** -0.5)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
-        p_attn, x_attn = out[:, :P], out[:, P:]
 
         # channel pathway: prompts -> pixel-space queries; the reference's
         # value product is dead code, only token_trans/token_trans1 feed the
         # prompt update (taskprompter.py:219,250)
         gh, gw = self.grid
         pixel_no = gh * gw
+        pn = jn[:, :P]
         chan_prompts = nn.Dense(pixel_no, dtype=self.dtype,
                                 name="token_trans")(pn)
-        p_attn = p_attn + nn.Dense(C, dtype=self.dtype,
-                                   name="token_trans1")(chan_prompts)
+        p_extra = nn.Dense(C, dtype=self.dtype,
+                           name="token_trans1")(chan_prompts)
+        # fold the prompt-only channel-path update into the same residual
+        # branch (reference adds it inside Attention.forward before the
+        # drop_path residual, taskprompter.py:250,273)
+        out = out.at[:, :P].add(p_extra)
 
         raw = None
         if need_taps:
             # raw (pre-scale, pre-softmax) prompt-row spatial scores; q/k
             # sliced from the head-major qkv tensor (tap layers only)
-            qkv5 = qkv.reshape(B, P + N, H, 3, D)
+            qkv5 = qkv.reshape(B, M, H, 3, D)
             q, k = qkv5[:, :, :, 0], qkv5[:, :, :, 1]
             raw_spa = jnp.einsum("bphd,bkhd->bhpk", q[:, :P], k,
                                  preferred_element_type=jnp.float32)
@@ -96,6 +122,7 @@ class PromptedBlock(nn.Module):
             # k = patch features as channel tokens (taskprompter.py:228-240)
             nh, nw = self.chan_windows
             wh, ww = gh // nh, gw // nw
+            xn = jn[:, P:]
             qc = chan_prompts.reshape(B, P, nh, wh, nw, ww).transpose(0, 2, 4, 1, 3, 5)
             qc = qc.reshape(B, nh * nw, P, wh * ww)
             kc = xn.transpose(0, 2, 1).reshape(B, C, nh, wh, nw, ww)
@@ -104,17 +131,11 @@ class PromptedBlock(nn.Module):
                                   preferred_element_type=jnp.float32)
             raw = PromptBlockOut(raw_spa, raw_chan)
 
-        dp = DropPath(self.drop_path, name="dp")
-        x = x + dp(x_attn, deterministic=deterministic)
-        prompts = prompts + dp(p_attn, deterministic=deterministic)
-
-        norm2 = FusedLN(name="norm2")
-        mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
-        x = x + dp(mlp(norm2(x), deterministic=deterministic),
-                   deterministic=deterministic)
-        prompts = prompts + dp(mlp(norm2(prompts), deterministic=deterministic),
-                               deterministic=deterministic)
-        return x, prompts, raw
+        joint = joint + self._row_drop(out, deterministic=deterministic)
+        mlp_out = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            FusedLN(name="norm2")(joint), deterministic=deterministic)
+        joint = joint + self._row_drop(mlp_out, deterministic=deterministic)
+        return joint, raw
 
 
 class TaskFeatureDecode(nn.Module):
@@ -260,18 +281,20 @@ class TaskPrompterViT(nn.Module):
                for i in range(self.depth)]
 
         task_fea: Dict[str, jax.Array] = {t: 0.0 for t in self.tasks}
+        P = T * self.prompt_len
+        joint = jnp.concatenate([prompts, tokens], axis=1)
         il = 0
         for i in range(self.depth):
             # the final tap (after the closing norm) reuses the LAST block's
             # raw scores, so the last block always computes them
             is_tap = (i + 1) in tap_set
             need = is_tap or (i == self.depth - 1)
-            tokens, prompts, raw = PromptedBlock(
-                self.num_heads, chan_windows, (gh, gw), self.mlp_ratio, self.qkv_bias,
-                dpr[i], self.dtype, name=f"blocks_{i}")(
-                    tokens, prompts, need_taps=need, deterministic=not train)
+            joint, raw = PromptedBlock(
+                self.num_heads, P, chan_windows, (gh, gw), self.mlp_ratio,
+                self.qkv_bias, dpr[i], self.dtype, name=f"blocks_{i}")(
+                    joint, need_taps=need, deterministic=not train)
             if is_tap:
-                x_map = tokens.reshape(B, gh, gw, self.embed_dim)
+                x_map = joint[:, P:].reshape(B, gh, gw, self.embed_dim)
                 fea = TaskFeatureDecode(
                     self.tasks, self.num_heads, self.prompt_len, chan_windows,
                     self.tar_dim, self.final_dim, self.use_ctr, il,
@@ -280,7 +303,7 @@ class TaskPrompterViT(nn.Module):
                     task_fea[t] = task_fea[t] + fea[t]
                 il += 1
 
-        tokens = FusedLN(name="norm")(tokens)
+        tokens = FusedLN(name="norm")(joint[:, P:])
         # final-layer tap reuses the last block's raw scores
         # (taskprompter.py:416-417)
         x_map = tokens.reshape(B, gh, gw, self.embed_dim)
