@@ -254,6 +254,185 @@ def fused_attention_qkv(qkv, heads: int, scale: float,
     return _fused_attention_qkv(qkv, heads, scale, impl)
 
 
+# ---------------------------------------------------------------------------
+# Fully fused pre-norm attention front half: LN(x) @ W_qkv -> attention.
+#
+# Removes two more custom-call boundaries per block: the standalone LN
+# (whose operands XLA must copy out of scoped/VMEM memory on both sides)
+# and the HBM round trip of the (B, N, 3C) qkv tensor (50 MB at ViT-L
+# bench shapes). Each (batch, head-pair) program re-derives LN(x) as a
+# transient (freed before the attention phase — a persistent scratch
+# blew the 16 MB scoped-VMEM limit at ViT-L shapes), computes its own
+# column slice of the qkv projection on the MXU, and runs softmax
+# attention in q-row chunks so the score buffer stays bounded, without
+# the scores ever leaving VMEM.
+#
+# Tap layers (need_qkv=True) use the XLA composition instead: they need
+# the qkv tensor and LN(x) materialized in HBM for the raw prompt-score
+# decode anyway, so there is nothing to fuse away.
+#
+# The output projection stays in XLA: it is a plain matmul that XLA runs
+# at speed-of-light and fuses the residual add into.
+# ---------------------------------------------------------------------------
+
+_Q_CHUNK = 512
+
+
+def _ln_rows(xb, g, be, eps):
+    xf = xb.astype(jnp.float32)
+    m = xf.mean(axis=-1, keepdims=True)
+    xc = xf - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(v + eps) * g + be).astype(xb.dtype)
+
+
+def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, *,
+                        scale: float, D: int, hpb: int, eps: float):
+    xn = _ln_rows(x_ref[0], g_ref[0], be_ref[0], eps)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[0]).astype(x_ref.dtype)    # (N, hpb*3D)
+    N = qkv.shape[0]
+    for h in range(hpb):
+        base = h * 3 * D
+        k = qkv[:, base + D:base + 2 * D]
+        v = qkv[:, base + 2 * D:base + 3 * D]
+        for q0 in range(0, N, _Q_CHUNK):
+            q = qkv[q0:q0 + _Q_CHUNK, base:base + D] \
+                * jnp.asarray(scale, qkv.dtype)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, q0:q0 + q.shape[0], h * D:(h + 1) * D] = \
+                (o / s).astype(o_ref.dtype)
+
+
+def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
+                        eps: float, hpb: int = 2, interpret: bool = False):
+    B, N, C = x.shape
+    D = w.shape[1] // heads // 3
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    out = pl.pallas_call(
+        functools.partial(_attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb,
+                          eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N, heads * D), x.dtype),
+        grid=(B, heads // hpb),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda bi, h: (bi, 0, 0)),
+            pl.BlockSpec((1, C), lambda bi, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda bi, h: (0, 0)),
+            pl.BlockSpec((C, hpb * 3 * D), lambda bi, h: (0, h)),
+            pl.BlockSpec((1, hpb * 3 * D), lambda bi, h: (0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, N, hpb * D), lambda bi, h: (bi, 0, h)),
+        interpret=interpret,
+        **kwargs,
+    )(x, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32), w, b.reshape(1, -1))
+    return out
+
+
+def _ln_f32_full(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    m = xf.mean(axis=-1, keepdims=True)
+    xc = xf - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(v + eps) * gamma.astype(jnp.float32)
+            + beta.astype(jnp.float32))
+
+
+def _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
+                     sub_impl: str = "xla"):
+    # emit (tap) layers need qkv and LN(x) materialized in HBM for the
+    # raw prompt-score decode, so LN+projection stay in XLA — but the
+    # attention itself still runs through the fused qkv kernel
+    xn = _ln_f32_full(x, gamma, beta, eps).astype(x.dtype)
+    qkv = xn @ w + b.astype(x.dtype)
+    out = _fused_attention_qkv(qkv, heads, scale, sub_impl)
+    return (out, qkv, xn) if emit else out
+
+
+def _attn_ln_ok(x, w, heads: int, hpb: int = 2) -> bool:
+    B, N, C = x.shape
+    D = w.shape[1] // heads // 3
+    cols = hpb * 3 * D
+    # peak-phase VMEM estimate (bytes): x double-buffered + w db + qkv
+    # bf16 + one q-chunk of logits f32 + its exp + bf16 cast + out db;
+    # the LN transient and f32 qkv live only before the score phase
+    qc = min(_Q_CHUNK, N)
+    it = x.dtype.itemsize
+    peak = max(
+        2 * N * C * it + 2 * C * cols * it + N * cols * (4 + it) + N * C * it,
+        2 * N * C * it + 2 * C * cols * it + N * cols * it
+        + qc * N * (4 + 4 + it) + 2 * N * hpb * D * it)
+    return (heads % hpb == 0 and cols % 128 == 0 and C % 128 == 0
+            and peak <= 14 * 2 ** 20)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_attn_ln_qkv(x, gamma, beta, w, b, heads: int, scale: float,
+                       eps: float, emit: bool, impl: str):
+    if not emit:
+        if impl == "pallas" and _attn_ln_ok(x, w, heads):
+            return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
+                                       eps)
+        if impl == "interpret" and _attn_ln_ok(x, w, heads):
+            return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
+                                       eps, interpret=True)
+    return _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
+                            sub_impl=impl)
+
+
+def _attn_ln_fwd(x, gamma, beta, w, b, heads, scale, eps, emit, impl):
+    out = _fused_attn_ln_qkv(x, gamma, beta, w, b, heads, scale, eps, emit,
+                             impl)
+    return out, (x, gamma, beta, w, b)
+
+
+def _attn_ln_bwd(heads, scale, eps, emit, impl, res, g):
+    # Recompute-based: differentiate the XLA composition (saves only the
+    # block input; the qkv tensor and probabilities are re-derived).
+    x, gamma, beta, w, b = res
+    _, vjp = jax.vjp(
+        lambda xx, ga, be, ww, bb:
+            _attn_ln_qkv_xla(xx, ga, be, ww, bb, heads, scale, eps, emit),
+        x, gamma, beta, w, b)
+    return vjp(g)
+
+
+_fused_attn_ln_qkv.defvjp(_attn_ln_fwd, _attn_ln_bwd)
+
+
+def fused_attention_ln_qkv(x, gamma, beta, w, b, heads: int,
+                           scale: Optional[float] = None, eps: float = 1e-6,
+                           need_qkv: bool = False,
+                           impl: Optional[str] = None):
+    """Pre-norm attention front half over (B, N, C): softmax-attention of
+    LN(x) @ w + b, with w's columns in HEAD-MAJOR (H, 3, D) order (same
+    convention as fused_attention_qkv). Returns the pre-projection head
+    concat (B, N, H*D); with ``need_qkv`` returns a tuple
+    (out, qkv (B, N, H*3*D), xn = LN(x)) for raw-score tap layers."""
+    if scale is None:
+        scale = (w.shape[1] // heads // 3) ** -0.5
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_ATTN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _fused_attn_ln_qkv(x, gamma, beta, w, b, heads, scale, eps,
+                              need_qkv, impl)
+
+
 def fused_attention(q, k, v, scale: Optional[float] = None,
                     impl: Optional[str] = None):
     """Multi-head attention over (B, N, H, D) tensors.

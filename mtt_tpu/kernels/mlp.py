@@ -59,10 +59,25 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
         o_ref[...] = (acc[...] + b2_ref[0]).astype(o_ref.dtype)
 
 
-def _mlp_pallas(x2, w1, b1, w2, b2, block_m: int = 512,
+def _pick_block_m(M: int, cap: int = 512) -> int:
+    """Largest divisor of M that is a multiple of 8 and <= cap: a divisor
+    block means zero row padding, so no pad copy in and no slice copy out
+    (profiled ~0.06 ms per call saved at ViT-L shapes, plus 5.7% less MXU
+    work at M=8232). Falls back to `cap` (padded) when M has no such
+    divisor."""
+    best = 0
+    for d in range(8, cap + 1, 8):
+        if M % d == 0:
+            best = d
+    return best or cap
+
+
+def _mlp_pallas(x2, w1, b1, w2, b2, block_m: int = 0,
                 block_h: int = 1024, interpret: bool = False):
     M, C = x2.shape
     H = w1.shape[1]
+    if block_m == 0:
+        block_m = _pick_block_m(M)
     Mp = (M + block_m - 1) // block_m * block_m
     if Mp != M:
         x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
@@ -156,4 +171,144 @@ def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = x.shape
     out = _fused_mlp(x.reshape(-1, shape[-1]), w1, b1, w2, b2, impl)
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused pre-norm MLP half-block: out = x + MLP(LN(x)).
+#
+# Folding the LayerNorm prologue and the residual epilogue into the MLP
+# kernel removes two custom-call boundaries per transformer block. Those
+# boundaries are expensive out of proportion to their math: XLA cannot keep
+# activations in scoped (VMEM) memory across a custom call, so each
+# standalone LN costs materialize-copies on both sides (profiled ~2.6 ms
+# per ViT-L forward in pad/reshape/copy around 48 LN calls, plus ~1 ms of
+# unfused residual adds). Here x is read once from HBM and written once.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_ln_res_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       o_ref, xn_ref, acc, *, nsub: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[...].astype(jnp.float32)
+        m = xf.mean(axis=-1, keepdims=True)
+        xc = xf - m
+        v = (xc * xc).mean(axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(v + eps)
+        xn_ref[...] = (y * g_ref[0] + be_ref[0]).astype(xn_ref.dtype)
+        acc[...] = jnp.zeros_like(acc)
+
+    h = jax.lax.dot_general(xn_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _gelu_erf_poly(h + b1_ref[0]).astype(xn_ref.dtype)
+    acc[...] += jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(j == nsub - 1)
+    def _():
+        o_ref[...] = (acc[...] + b2_ref[0]
+                      + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps: float,
+                       block_m: int = 0, block_h: int = 512,
+                       interpret: bool = False):
+    # block_h 512 (vs 1024 in the plain kernel): the LN(x) cache scratch
+    # costs block_m*C extra VMEM, which pushed the 1024-column config
+    # 972K over the 16M scoped-vmem limit at ViT-L shapes; halving the
+    # w1/w2 working blocks frees ~5M with identical HBM weight traffic
+    M, C = x2.shape
+    H = w1.shape[1]
+    if block_m == 0:
+        block_m = _pick_block_m(M)
+    Mp = (M + block_m - 1) // block_m * block_m
+    if Mp != M:
+        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+    block_h = min(block_h, H)
+    nsub = H // block_h
+    kwargs = {"scratch_shapes": [
+        pltpu.VMEM((block_m, C), x2.dtype),       # LN(x) cache
+        pltpu.VMEM((block_m, C), jnp.float32),    # fc2 accumulator
+    ]} if pltpu is not None else {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    out = pl.pallas_call(
+        functools.partial(_mlp_ln_res_kernel, nsub=nsub, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
+        grid=(Mp // block_m, nsub),
+        in_specs=[
+            pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+            pl.BlockSpec((C, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
+            pl.BlockSpec((block_h, C), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(x2, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32),
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out[:M]
+
+
+def _ln_f32(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    m = xf.mean(axis=-1, keepdims=True)
+    xc = xf - m
+    v = (xc * xc).mean(axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(v + eps) * gamma.astype(jnp.float32)
+            + beta.astype(jnp.float32))
+
+
+def _mlp_ln_res_xla(x2, gamma, beta, w1, b1, w2, b2, eps):
+    xn = _ln_f32(x2, gamma, beta, eps).astype(x2.dtype)
+    return x2 + _mlp_xla(xn, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp_ln_res(x2, gamma, beta, w1, b1, w2, b2, eps: float, impl: str):
+    if impl == "pallas" and pltpu is not None and _pallas_ok(x2, w1):
+        return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps)
+    if impl == "interpret" and pltpu is not None and _pallas_ok(x2, w1):
+        return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps,
+                                  interpret=True)
+    return _mlp_ln_res_xla(x2, gamma, beta, w1, b1, w2, b2, eps)
+
+
+def _mlp_ln_res_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, impl):
+    out = _fused_mlp_ln_res(x2, gamma, beta, w1, b1, w2, b2, eps, impl)
+    return out, (x2, gamma, beta, w1, b1, w2, b2)
+
+
+def _mlp_ln_res_bwd(eps, impl, res, g):
+    # Recompute-based: differentiate the XLA composition (exact gelu/LN).
+    x2, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x, ga, be, a1, c1, a2, c2:
+            _mlp_ln_res_xla(x, ga, be, a1, c1, a2, c2, eps),
+        x2, gamma, beta, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_fused_mlp_ln_res.defvjp(_mlp_ln_res_fwd, _mlp_ln_res_bwd)
+
+
+def fused_mlp_ln_res(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-6,
+                     impl: Optional[str] = None):
+    """Pre-norm MLP half-block over (..., C): x + MLP(LN(x))."""
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_MLP_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    shape = x.shape
+    out = _fused_mlp_ln_res(x.reshape(-1, shape[-1]), gamma, beta,
+                            w1, b1, w2, b2, eps, impl)
     return out.reshape(shape)

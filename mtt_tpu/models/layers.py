@@ -43,13 +43,41 @@ class _DenseParams(nn.Module):
     lets Mlp route through the fused Pallas kernel while keeping a tree
     identical to two nn.Dense submodules."""
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, cin: int):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (cin, self.features))
+        if not self.use_bias:
+            return k, jnp.zeros((self.features,), k.dtype)
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Declares nn.Conv-layout params for a 1x1 conv (kernel/bias) without
+    computing — same init and tree as an nn.Conv submodule of this name."""
+    features: int
+    in_features: int    # per-group input channels (nn.Conv kernel dim 2)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class LNParams(nn.Module):
+    """Declares nn.LayerNorm-layout params (scale/bias) without computing —
+    the fused block kernels take LN params as plain inputs while the tree
+    stays identical to a FusedLN submodule of the same name."""
+
+    @nn.compact
+    def __call__(self, C: int):
+        return (self.param("scale", nn.initializers.ones, (C,)),
+                self.param("bias", nn.initializers.zeros, (C,)))
 
 
 class Mlp(nn.Module):
@@ -64,11 +92,18 @@ class Mlp(nn.Module):
     drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, ln=None, deterministic: bool = True):
         out_dim = self.out_features or x.shape[-1]
         C = x.shape[-1]
         w1, b1 = _DenseParams(self.hidden_features, name="fc1")(C)
         w2, b2 = _DenseParams(out_dim, name="fc2")(self.hidden_features)
+        if ln is not None:
+            # pre-norm fused half-block: x + MLP(LN(x)) in one kernel
+            if self.drop != 0.0:
+                raise ValueError("fused ln path requires drop == 0")
+            from mtt_tpu.kernels.mlp import fused_mlp_ln_res
+            return fused_mlp_ln_res(x, ln[0], ln[1], w1.astype(self.dtype),
+                                    b1, w2.astype(self.dtype), b2)
         if self.drop == 0.0:
             from mtt_tpu.kernels.mlp import fused_mlp
             return fused_mlp(x, w1.astype(self.dtype), b1,
@@ -160,16 +195,26 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, ln=None, deterministic: bool = True):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
         # qkv kernel columns are stored HEAD-MAJOR (H, 3, D) — the kernel
         # consumes the Dense output directly with zero slices/transposes
         # (converters reorder torch/npz (3, H, D) weights to match)
-        from mtt_tpu.kernels.attention import fused_attention_qkv
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        out = fused_attention_qkv(qkv, H, D ** -0.5)
+        if ln is not None:
+            # pre-norm fused path: LN + qkv projection + attention in one
+            # Pallas kernel (no standalone LN custom call, no qkv HBM trip)
+            from mtt_tpu.kernels.attention import fused_attention_ln_qkv
+            wq, bq = _DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+            out = fused_attention_ln_qkv(
+                x, ln[0], ln[1], wq.astype(self.dtype),
+                bq.astype(self.dtype), H, D ** -0.5)
+        else:
+            from mtt_tpu.kernels.attention import fused_attention_qkv
+            qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(x)
+            out = fused_attention_qkv(qkv, H, D ** -0.5)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -188,13 +233,21 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         C = x.shape[-1]
-        h = FusedLN(name="norm1")(x)
+        # LN params declared once; consumed either by the fused block
+        # kernels (identical math, one custom call per half-block) or by
+        # the unfused composition when stochastic depth needs the branch
+        # separated from the residual. Trees are identical in both paths.
+        ln1 = LNParams(name="norm1")(C)
         h = Attention(self.num_heads, self.qkv_bias, self.dtype, name="attn")(
-            h, deterministic=deterministic)
+            x, ln=ln1, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic=deterministic)
-        h = FusedLN(name="norm2")(x)
-        h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
-            h, deterministic=deterministic)
+        ln2 = LNParams(name="norm2")(C)
+        mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        if self.drop_path == 0.0 or deterministic:
+            return mlp(x, ln=ln2, deterministic=deterministic)
+        from mtt_tpu.kernels.layernorm import fused_layernorm
+        h = mlp(fused_layernorm(x, ln2[0], ln2[1]),
+                deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic=deterministic)
 
 
@@ -258,11 +311,15 @@ def _upsample_matmul(x, size):
     O, P = size
     R = jnp.asarray(_linear_resize_matrix(H, O), x.dtype)
     Cm = jnp.asarray(_linear_resize_matrix(W, P), x.dtype)
-    # rows: contract over H, minor dim W*C untouched
+    # rows: batched over B with the tiny (O, H) matrix broadcast — the
+    # output comes out in (B, O, W*C) order directly, avoiding the
+    # (O, B, ...) -> (B, O, ...) transpose copy of the upsampled map
+    # (XLA folds the broadcast into the matmul fusion)
     y = jax.lax.dot_general(
-        R, x.reshape(B, H, W * C), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (O, B, W*C)
-    y = y.astype(x.dtype).reshape(O, B, W, C).transpose(1, 0, 2, 3)
+        jnp.broadcast_to(R, (B, O, H)), x.reshape(B, H, W * C),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (B, O, W*C)
+    y = y.astype(x.dtype)
     # cols: batched over B*O, contract over W
     y2 = jax.lax.dot_general(
         jnp.broadcast_to(Cm, (B * O, P, W)), y.reshape(B * O, W, C),

@@ -27,9 +27,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
-                                   PatchEmbed, dot_product_attention,
-                                   interpolate, trunc_normal)
+from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, LNParams,
+                                   Mlp, PatchEmbed, _DenseParams,
+                                   dot_product_attention, interpolate,
+                                   trunc_normal)
 
 
 class PromptBlockOut:
@@ -84,15 +85,26 @@ class PromptedBlock(nn.Module):
         B, M, C = joint.shape
         P = self.num_prompts
         N = M - P
-        jn = FusedLN(name="norm1")(joint)
-
-        # qkv kernel columns stored HEAD-MAJOR (H, 3, D) — see layers.Attention
-        from mtt_tpu.kernels.attention import fused_attention_qkv
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(jn)
         H, D = self.num_heads, C // self.num_heads
 
-        out = fused_attention_qkv(qkv, H, D ** -0.5)
+        # LN + qkv projection (HEAD-MAJOR columns) + attention in one fused
+        # kernel; tap layers additionally get the qkv tensor and LN output
+        # back for raw-score decoding
+        from mtt_tpu.kernels.attention import fused_attention_ln_qkv
+        ln1 = LNParams(name="norm1")(C)
+        wq, bq = _DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+        if need_taps:
+            out, qkv, jn = fused_attention_ln_qkv(
+                joint, ln1[0], ln1[1], wq.astype(self.dtype),
+                bq.astype(self.dtype), H, D ** -0.5, need_qkv=True)
+            pn = jn[:, :P]
+        else:
+            out = fused_attention_ln_qkv(
+                joint, ln1[0], ln1[1], wq.astype(self.dtype),
+                bq.astype(self.dtype), H, D ** -0.5)
+            # prompt rows' LN recomputed in XLA — P rows, negligible
+            from mtt_tpu.kernels.layernorm import _ln_xla
+            pn = _ln_xla(joint[:, :P], ln1[0], ln1[1], 1e-6)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
         # channel pathway: prompts -> pixel-space queries; the reference's
@@ -100,7 +112,6 @@ class PromptedBlock(nn.Module):
         # prompt update (taskprompter.py:219,250)
         gh, gw = self.grid
         pixel_no = gh * gw
-        pn = jn[:, :P]
         chan_prompts = nn.Dense(pixel_no, dtype=self.dtype,
                                 name="token_trans")(pn)
         p_extra = nn.Dense(C, dtype=self.dtype,
@@ -119,22 +130,31 @@ class PromptedBlock(nn.Module):
             raw_spa = jnp.einsum("bphd,bkhd->bhpk", q[:, :P], k,
                                  preferred_element_type=jnp.float32)
             # raw windowed channel scores: q = chan_prompts (pixel space),
-            # k = patch features as channel tokens (taskprompter.py:228-240)
+            # k = patch features as channel tokens (taskprompter.py:228-240).
+            # Contraction is over pixels, so xn is consumed in its native
+            # (pixel, channel) layout — no transposed copy of the big
+            # patch block.
             nh, nw = self.chan_windows
             wh, ww = gh // nh, gw // nw
             xn = jn[:, P:]
-            qc = chan_prompts.reshape(B, P, nh, wh, nw, ww).transpose(0, 2, 4, 1, 3, 5)
-            qc = qc.reshape(B, nh * nw, P, wh * ww)
-            kc = xn.transpose(0, 2, 1).reshape(B, C, nh, wh, nw, ww)
-            kc = kc.transpose(0, 2, 4, 1, 3, 5).reshape(B, nh * nw, C, wh * ww)
-            raw_chan = jnp.einsum("bwpm,bwcm->bwpc", qc, kc,
+            qc = chan_prompts.reshape(B, P, nh, wh, nw, ww)
+            kc = xn.reshape(B, nh, wh, nw, ww, C)
+            raw_chan = jnp.einsum("bphvnw,bhvnwc->bhnpc", qc, kc,
                                   preferred_element_type=jnp.float32)
+            raw_chan = raw_chan.reshape(B, nh * nw, P, C)
             raw = PromptBlockOut(raw_spa, raw_chan)
 
         joint = joint + self._row_drop(out, deterministic=deterministic)
-        mlp_out = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
-            FusedLN(name="norm2")(joint), deterministic=deterministic)
-        joint = joint + self._row_drop(mlp_out, deterministic=deterministic)
+        ln2 = LNParams(name="norm2")(C)
+        mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")
+        if self.drop_path == 0.0 or deterministic:
+            joint = mlp(joint, ln=ln2, deterministic=deterministic)
+        else:
+            from mtt_tpu.kernels.layernorm import fused_layernorm
+            mlp_out = mlp(fused_layernorm(joint, ln2[0], ln2[1]),
+                          deterministic=deterministic)
+            joint = joint + self._row_drop(mlp_out,
+                                           deterministic=deterministic)
         return joint, raw
 
 
@@ -172,36 +192,58 @@ class TaskFeatureDecode(nn.Module):
         chan = raw.raw_chan                                # (B, nwins, P, C)
         chan = chan.reshape(B, nh, nw, T, pl, C)
 
-        # ---- stacked decode: all tasks in ONE grouped conv per stage ----
+        # ---- stacked decode: all tasks in ONE kernel/conv per stage ----
         # (the reference loops per-task ModuleDicts, taskprompter.py:434-474;
         # T separate small convs at 32x32 underutilize the MXU and cost op
-        # overhead x5 tasks x4 taps — the task axis merges into channels and
-        # feature_group_count=T makes each stage one large conv. BN over the
-        # merged T*final channels is exactly per-task BN.)
-        # spatial decode inputs built directly in (B,gh,gw,T,C) layout so the
-        # task-major channel merge is a free reshape, not a transpose copy
-        a_all = spa.transpose(0, 3, 4, 1, 2)               # (B,gh,gw,T,G)
-        xg = x_map.reshape(B, gh, gw, G, gc)
-        f_in = (xg[:, :, :, None] * a_all[..., None].astype(xg.dtype)
-                ).reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
-        f_in = f_in.reshape(B, gh, gw, T * C)
-        # channel decode inputs: (B,nh,wh,nw,ww,T,C) -> same trick
-        cw_all = chan[..., 0, :]                           # (B,nh,nw,T,C)
-        xw = x_map.reshape(B, nh, wh, nw, ww, C)
-        fw_in = (xw[:, :, :, :, :, None, :]
-                 * cw_all[:, :, None, :, None, :, :].astype(xw.dtype))
-        fw_in = fw_in.reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
-        fw_in = fw_in.reshape(B, gh, gw, T * C)
+        # overhead x5 tasks x4 taps — the task axis merges into channels.
+        # BN over the merged T*final channels is exactly per-task BN.)
+        if nh * nw == 1:
+            # fused Pallas decode: the (B,S,T,C) scaled inputs are built in
+            # VMEM and projected per task without ever touching HBM
+            # (kernels/task_decode.py); params keep the grouped-conv tree
+            from mtt_tpu.kernels.task_decode import fused_task_decode
+            from mtt_tpu.models.layers import _Conv1x1Params
+            ks, bsv = _Conv1x1Params(T * self.tar_dim, C,
+                                     name=f"spa_{il}")()
+            kc, bcv = _Conv1x1Params(T * self.tar_dim, C,
+                                     name=f"chan_{il}")()
+            S = gh * gw
+            # (B,H,T,pl,S) -> (B,T,S,G) with head-major group order
+            a = spa.reshape(B, T, G, S).transpose(0, 1, 3, 2)
+            cwv = chan.reshape(B, T, pl, C)[:, :, 0]
+            ws = ks.reshape(C, T, self.tar_dim).transpose(1, 0, 2)
+            wc = kc.reshape(C, T, self.tar_dim).transpose(1, 0, 2)
+            cat = fused_task_decode(
+                x_map.reshape(B, S, C), a.astype(x_map.dtype), cwv,
+                ws.astype(self.dtype), bsv.reshape(T, self.tar_dim),
+                wc.astype(self.dtype), bcv.reshape(T, self.tar_dim))
+            cat = cat.reshape(B, gh, gw, T * 2 * self.tar_dim) \
+                .astype(self.dtype)
+        else:
+            # spatial decode inputs built directly in (B,gh,gw,T,C) layout
+            # so the task-major channel merge is a free reshape
+            a_all = spa.transpose(0, 3, 4, 1, 2)           # (B,gh,gw,T,G)
+            xg = x_map.reshape(B, gh, gw, G, gc)
+            f_in = (xg[:, :, :, None] * a_all[..., None].astype(xg.dtype)
+                    ).reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
+            f_in = f_in.reshape(B, gh, gw, T * C)
+            # channel decode inputs: (B,nh,wh,nw,ww,T,C) -> same trick
+            cw_all = chan[..., 0, :]                       # (B,nh,nw,T,C)
+            xw = x_map.reshape(B, nh, wh, nw, ww, C)
+            fw_in = (xw[:, :, :, :, :, None, :]
+                     * cw_all[:, :, None, :, None, :, :].astype(xw.dtype))
+            fw_in = fw_in.reshape(B, gh, gw, T, C) + x_map[:, :, :, None]
+            fw_in = fw_in.reshape(B, gh, gw, T * C)
 
-        f = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
-                    dtype=self.dtype, name=f"spa_{il}")(f_in)
-        fc = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
-                     dtype=self.dtype, name=f"chan_{il}")(fw_in)
-        # per-task concat [f_t, fc_t]: interleave task-major
-        f = f.reshape(B, gh, gw, T, self.tar_dim)
-        fc = fc.reshape(B, gh, gw, T, self.tar_dim)
-        cat = jnp.concatenate([f, fc], axis=-1).reshape(
-            B, gh, gw, T * 2 * self.tar_dim)
+            f = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
+                        dtype=self.dtype, name=f"spa_{il}")(f_in)
+            fc = nn.Conv(T * self.tar_dim, (1, 1), feature_group_count=T,
+                         dtype=self.dtype, name=f"chan_{il}")(fw_in)
+            # per-task concat [f_t, fc_t]: interleave task-major
+            f = f.reshape(B, gh, gw, T, self.tar_dim)
+            fc = fc.reshape(B, gh, gw, T, self.tar_dim)
+            cat = jnp.concatenate([f, fc], axis=-1).reshape(
+                B, gh, gw, T * 2 * self.tar_dim)
         cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
                       dtype=self.dtype, name=f"fuse0_{il}")(cat)
         cat = nn.Conv(T * self.final_dim, (3, 3), padding="SAME",

@@ -119,3 +119,145 @@ def test_fused_mlp_matches_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_fused_mlp_ln_res_matches_xla():
+    """x + MLP(LN(x)) fused half-block: interpret vs xla, plus grads vs a
+    plain composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.mlp import fused_mlp_ln_res
+
+    rng = np.random.default_rng(7)
+    C, H = 128, 1024
+    x = jnp.asarray(rng.normal(size=(2, 56, C)).astype(np.float32))
+    ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    ref = fused_mlp_ln_res(x, ga, be, w1, b1, w2, b2, impl="xla")
+    out = fused_mlp_ln_res(x, ga, be, w1, b1, w2, b2, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+    def loss_f(*a):
+        return (fused_mlp_ln_res(*a, impl="xla") ** 2).sum()
+
+    def loss_p(x, ga, be, w1, b1, w2, b2):
+        m = x.mean(-1, keepdims=True)
+        v = ((x - m) ** 2).mean(-1, keepdims=True)
+        xn = (x - m) * jax.lax.rsqrt(v + 1e-6) * ga + be
+        h = jax.nn.gelu(xn @ w1 + b1, approximate=False)
+        return ((x + h @ w2 + b2) ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=tuple(range(7)))(x, ga, be, w1, b1, w2, b2)
+    g2 = jax.grad(loss_p, argnums=tuple(range(7)))(x, ga, be, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_fused_attention_ln_qkv_matches_xla():
+    """LN + qkv projection + attention fused front half: interpret vs xla,
+    tap outputs (qkv, xn), and gradients vs a plain composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.attention import fused_attention_ln_qkv
+
+    rng = np.random.default_rng(8)
+    B, N, H, D = 2, 56, 2, 64
+    C = H * D
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.05)
+
+    ref = fused_attention_ln_qkv(x, ga, be, w, b, H, impl="xla")
+    out = fused_attention_ln_qkv(x, ga, be, w, b, H, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+    r3 = fused_attention_ln_qkv(x, ga, be, w, b, H, need_qkv=True,
+                                impl="xla")
+    o3 = fused_attention_ln_qkv(x, ga, be, w, b, H, need_qkv=True,
+                                impl="interpret")
+    for a, r in zip(o3, r3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(o3[0]), np.asarray(out),
+                               atol=1e-6)
+
+    def loss_f(x, ga, be, w, b):
+        out, qkv, xn = fused_attention_ln_qkv(x, ga, be, w, b, H,
+                                              need_qkv=True, impl="xla")
+        return (out ** 2).sum() + (qkv ** 3).sum() + (xn ** 2).sum()
+
+    def loss_p(x, ga, be, w, b):
+        m = x.mean(-1, keepdims=True)
+        v = ((x - m) ** 2).mean(-1, keepdims=True)
+        xn = (x - m) * jax.lax.rsqrt(v + 1e-6) * ga + be
+        qkv = xn @ w + b
+        q5 = qkv.reshape(B, N, H, 3, D)
+        q, k, vv = q5[:, :, :, 0], q5[:, :, :, 1], q5[:, :, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (D ** -0.5)
+        p = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, vv).reshape(B, N, C)
+        return (o ** 2).sum() + (qkv ** 3).sum() + (xn ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=tuple(range(5)))(x, ga, be, w, b)
+    g2 = jax.grad(loss_p, argnums=tuple(range(5)))(x, ga, be, w, b)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_fused_task_decode_matches_xla():
+    """Fused spatial+channel task decode: interpret vs xla + grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.task_decode import fused_task_decode
+
+    rng = np.random.default_rng(9)
+    B, S, C, T, G, tar = 2, 256, 128, 3, 4, 48
+    x = jnp.asarray(rng.normal(size=(B, S, C)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(B, T, S, G)).astype(np.float32))
+    cw = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(T, C, tar)).astype(np.float32) * 0.05)
+    bs = jnp.asarray(rng.normal(size=(T, tar)).astype(np.float32) * 0.05)
+    wc = jnp.asarray(rng.normal(size=(T, C, tar)).astype(np.float32) * 0.05)
+    bc = jnp.asarray(rng.normal(size=(T, tar)).astype(np.float32) * 0.05)
+
+    ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="xla")
+    out = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss_f(*args):
+        cat = fused_task_decode(*args, impl="xla")
+        f = cat.reshape(B, S, T, 2 * tar)[..., :tar]
+        fc = cat.reshape(B, S, T, 2 * tar)[..., tar:]
+        return (f ** 2).sum() + (fc ** 3).sum()
+
+    def loss_p(x, a, cw, ws, bs, wc, bc):
+        gc = C // G
+        xg = x.reshape(B, S, G, gc)
+        at = a.transpose(0, 2, 1, 3)
+        f_in = (xg[:, :, None] * at[..., None]).reshape(B, S, T, C) \
+            + x[:, :, None]
+        fc_in = x[:, :, None] * cw[:, None] + x[:, :, None]
+        f = jnp.einsum("bstc,tcr->bstr", f_in, ws) + bs[None, None]
+        fc = jnp.einsum("bstc,tcr->bstr", fc_in, wc) + bc[None, None]
+        return (f ** 2).sum() + (fc ** 3).sum()
+
+    args = (x, a, cw, ws, bs, wc, bc)
+    g1 = jax.grad(loss_f, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    for a1, a2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   atol=2e-3, rtol=2e-3)

@@ -104,6 +104,70 @@ class TestPallasKernelsOnTPU:
                                              impl="pallas"), np.float32)
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
+    def test_mlp_ln_res_pallas_vs_xla(self):
+        # fused pre-norm MLP half-block at ViT-L bench shape, bf16
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.mlp import fused_mlp_ln_res
+        rng = _rng(5)
+        B, N, C, H = 2, 1029, 1024, 4096
+        x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32),
+                        jnp.bfloat16)
+        ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+        be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.03,
+                         jnp.bfloat16)
+        b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.03)
+        w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.03,
+                         jnp.bfloat16)
+        b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.03)
+        ref = np.asarray(fused_mlp_ln_res(x, ga, be, w1, b1, w2, b2,
+                                          impl="xla"), np.float32)
+        out = np.asarray(fused_mlp_ln_res(x, ga, be, w1, b1, w2, b2,
+                                          impl="pallas"), np.float32)
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+    def test_attention_ln_qkv_pallas_vs_xla(self):
+        # fused LN+qkv+attention front half at ViT-L bench shape, bf16
+        # (the shape that OOMed scoped VMEM before q-chunking)
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import fused_attention_ln_qkv
+        rng = _rng(6)
+        B, N, H, D = 2, 1029, 16, 64
+        C = H * D
+        x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32),
+                        jnp.bfloat16)
+        ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+        be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.03,
+                        jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.03,
+                        jnp.bfloat16)
+        ref = np.asarray(fused_attention_ln_qkv(x, ga, be, w, b, H,
+                                                impl="xla"), np.float32)
+        out = np.asarray(fused_attention_ln_qkv(x, ga, be, w, b, H,
+                                                impl="pallas"), np.float32)
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+    def test_task_decode_pallas_vs_xla(self):
+        # fused task decode at TaskPrompter-ViT-L tap shape:
+        # S=1024 patches, C=1024, T=5 tasks, G=16 head groups, tar=350
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.task_decode import fused_task_decode
+        rng = _rng(7)
+        B, S, C, T, G, tar = 2, 1024, 1024, 5, 16, 384
+        mk = lambda s, sc=1.0: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32) * sc, jnp.bfloat16)
+        x = mk((B, S, C))
+        a = mk((B, T, S, G))
+        cw = mk((B, T, C))
+        ws, wc = mk((T, C, tar), 0.03), mk((T, C, tar), 0.03)
+        bs, bc = mk((T, tar), 0.03), mk((T, tar), 0.03)
+        ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="xla")
+        out = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+
     def test_invpt_message_kernel_pallas_vs_xla(self):
         # InvPT stage-2 shape: 5 tasks x 32x32 q (stride 2 -> 1280),
         # kv 5x8x8=320, 2 heads of 64

@@ -53,7 +53,7 @@ def capture(tdir: str, steps: int):
     jax.profiler.stop_trace()
 
 
-def report(tdir: str, steps: int, top: int):
+def report(tdir: str, steps: int, top: int, cat_filter=None):
     # import of tf must happen in a clean env (PYTHONPATH sitecustomize adds
     # 30s+); caller handles that
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -79,6 +79,33 @@ def report(tdir: str, steps: int, top: int):
     print(f"== top {top} ops (ms/step) ==")
     for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{v:8.3f}  {k}")
+    if cat_filter:
+        # per-op drilldown for one category incl. every stat the profiler
+        # attached (expression/provenance), to find the producing source line
+        stat_md = p.stat_metadata
+        seen = {}
+        tot = defaultdict(float)
+        for ev in line.events:
+            md = p.event_metadata[ev.metadata_id]
+            if not md.name.lstrip("%").startswith(cat_filter):
+                continue
+            key = md.name.split(" = ")[0]
+            tot[key] += ev.duration_ps / 1e9 / steps
+            if key not in seen:
+                stats = {}
+                for st in list(ev.stats) + list(md.stats):
+                    nm = stat_md[st.metadata_id].name
+                    val = (st.str_value or st.int64_value or st.uint64_value
+                           or st.double_value or
+                           st.ref_value and stat_md[st.ref_value].name)
+                    stats[nm] = val
+                seen[key] = (md.display_name, stats)
+        print(f"== drilldown: {cat_filter} ==")
+        for k, v in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+            dn, stats = seen[k]
+            print(f"{v:8.3f}  {k}  dn={dn}")
+            for sk, sv in stats.items():
+                print(f"           {sk}: {str(sv)[:220]}")
 
 
 if __name__ == "__main__":
@@ -87,8 +114,10 @@ if __name__ == "__main__":
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--cat", default=None)
     args = ap.parse_args()
     tdir = args.dir or tempfile.mkdtemp(prefix="mtt_trace_")
     if not args.report_only:
         capture(tdir, args.steps)
-    report(tdir, args.steps, args.top)
+    report(tdir, args.steps, args.top, args.cat)
+    print("trace dir:", tdir)
