@@ -41,8 +41,8 @@ def _gelu_erf_poly(h):
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
                 *, nsub: int):
-    xb = x_ref[...]
-    j = pl.program_id(1)
+    xb = x_ref[0]
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
@@ -56,110 +56,124 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
 
     @pl.when(j == nsub - 1)
     def _():
-        o_ref[...] = (acc[...] + b2_ref[0]).astype(o_ref.dtype)
+        o_ref[...] = (acc[...] + b2_ref[0]).astype(o_ref.dtype)[None]
 
 
-def _pick_block_m(M: int, cap: int = 512) -> int:
-    """Largest divisor of M that is a multiple of 8 and <= cap: a divisor
-    block means zero row padding, so no pad copy in and no slice copy out
-    (profiled ~0.06 ms per call saved at ViT-L shapes, plus 5.7% less MXU
-    work at M=8232). Falls back to `cap` (padded) when M has no such
-    divisor."""
+def _pick_block_n(N: int, cap: int = 512) -> int:
+    """Row-block size for a (B, N, C) input: the largest divisor of N that
+    is a multiple of 8 and <= cap when one exists >= 128 (zero row padding,
+    full MXU rows); otherwise the smallest 8-aligned block covering N in
+    ceil(N/cap) steps (e.g. N=1029 -> 344: 3 masked pad rows, 0.3%)."""
     best = 0
     for d in range(8, cap + 1, 8):
-        if M % d == 0:
+        if N % d == 0:
             best = d
-    return best or cap
+    if best >= 128 or best == N:
+        return best
+    k = -(-N // cap)
+    return -(-(-(-N // k)) // 8) * 8
 
 
-def _mlp_pallas(x2, w1, b1, w2, b2, block_m: int = 0,
+def _mlp_pallas(x3, w1, b1, w2, b2, block_n: int = 0,
                 block_h: int = 1024, interpret: bool = False):
-    M, C = x2.shape
+    B, N, C = x3.shape
     H = w1.shape[1]
-    if block_m == 0:
-        block_m = _pick_block_m(M)
-    Mp = (M + block_m - 1) // block_m * block_m
-    if Mp != M:
-        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+    if block_n == 0:
+        block_n = _pick_block_n(N)
+    nN = -(-N // block_n)
     block_h = min(block_h, H)
     nsub = H // block_h
-    kwargs = {"scratch_shapes": [pltpu.VMEM((block_m, C), jnp.float32)]} \
+    kwargs = {"scratch_shapes": [pltpu.VMEM((block_n, C), jnp.float32)]} \
         if pltpu is not None else {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"))
-    out = pl.pallas_call(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
         functools.partial(_mlp_kernel, nsub=nsub),
-        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
-        grid=(Mp // block_m, nsub),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x3.dtype),
+        grid=(B, nN, nsub),
         in_specs=[
-            pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
-            pl.BlockSpec((C, block_h), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
-            pl.BlockSpec((block_h, C), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, block_n, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((C, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((block_h, C), lambda b, i, j: (j, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((1, block_n, C), lambda b, i, j: (b, i, 0)),
         interpret=interpret,
         **kwargs,
-    )(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
-    return out[:M]
+    )(x3, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
 
 
-def _mlp_xla(x2, w1, b1, w2, b2):
-    h = jax.lax.dot_general(x2, w1, (((1,), (0,)), ((), ())),
+def _mlp_xla(x3, w1, b1, w2, b2):
+    h = jax.lax.dot_general(x3, w1, (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
-    out = jax.lax.dot_general(h.astype(x2.dtype), w2,
-                              (((1,), (0,)), ((), ())),
+    out = jax.lax.dot_general(h.astype(x3.dtype), w2,
+                              (((2,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return (out + b2.astype(jnp.float32)).astype(x2.dtype)
+    return (out + b2.astype(jnp.float32)).astype(x3.dtype)
 
 
-def _pallas_ok(x2, w1) -> bool:
+def _pallas_ok(x3, w1) -> bool:
     C, H = w1.shape
     # weights in lane-aligned blocks; scratch + operands within VMEM
     return C % 128 == 0 and H % 1024 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused_mlp(x2, w1, b1, w2, b2, impl: str):
-    if impl == "pallas" and pltpu is not None and _pallas_ok(x2, w1):
-        return _mlp_pallas(x2, w1, b1, w2, b2)
-    if impl == "interpret" and pltpu is not None and _pallas_ok(x2, w1):
-        return _mlp_pallas(x2, w1, b1, w2, b2, interpret=True)
-    return _mlp_xla(x2, w1, b1, w2, b2)
+def _fused_mlp(x3, w1, b1, w2, b2, impl: str):
+    if impl == "pallas" and pltpu is not None and _pallas_ok(x3, w1):
+        return _mlp_pallas(x3, w1, b1, w2, b2)
+    if impl == "interpret" and pltpu is not None and _pallas_ok(x3, w1):
+        return _mlp_pallas(x3, w1, b1, w2, b2, interpret=True)
+    return _mlp_xla(x3, w1, b1, w2, b2)
 
 
-def _fwd(x2, w1, b1, w2, b2, impl):
-    return _fused_mlp(x2, w1, b1, w2, b2, impl), (x2, w1, b1, w2)
+def _fwd(x3, w1, b1, w2, b2, impl):
+    return _fused_mlp(x3, w1, b1, w2, b2, impl), (x3, w1, b1, w2)
 
 
 def _bwd(impl, res, g):
-    x2, w1, b1, w2 = res
-    xf = x2.astype(jnp.float32)
+    x3, w1, b1, w2 = res
+    xf = x3.astype(jnp.float32)
     pre = jax.lax.dot_general(xf, w1.astype(jnp.float32),
-                              (((1,), (0,)), ((), ()))) + b1.astype(jnp.float32)
+                              (((2,), (0,)), ((), ()))) + b1.astype(jnp.float32)
     h = jax.nn.gelu(pre, approximate=False)
     gf = g.astype(jnp.float32)
-    db2 = gf.sum(0)
-    dw2 = jax.lax.dot_general(h, gf, (((0,), (0,)), ((), ())))
+    db2 = gf.sum((0, 1))
+    dw2 = jax.lax.dot_general(h, gf, (((0, 1), (0, 1)), ((), ())))
     dh = jax.lax.dot_general(gf, w2.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())))
+                             (((2,), (1,)), ((), ())))
     # d gelu(x)/dx = Phi(x) + x phi(x)
     inv_sqrt2 = 2.0 ** -0.5
     phi = jnp.exp(-0.5 * pre * pre) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
     Phi = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
     dpre = dh * (Phi + pre * phi)
-    db1 = dpre.sum(0)
-    dw1 = jax.lax.dot_general(xf, dpre, (((0,), (0,)), ((), ())))
+    db1 = dpre.sum((0, 1))
+    dw1 = jax.lax.dot_general(xf, dpre, (((0, 1), (0, 1)), ((), ())))
     dx = jax.lax.dot_general(dpre, w1.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())))
-    return (dx.astype(x2.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                             (((2,), (1,)), ((), ())))
+    return (dx.astype(x3.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b1.dtype))
 
 
 _fused_mlp.defvjp(_fwd, _bwd)
+
+
+def _as3d(x):
+    """View (..., N, C) as (B, N, C) with zero data movement. When the row
+    dim is 8-aligned the whole tensor flattens to one batch (largest
+    blocks); otherwise leading dims stay as the batch so no retile copy is
+    needed (a flat (B*N, C) view of an 8-unaligned N physically re-tiles
+    the T(8,128) layout — profiled 0.02 ms per call each way at ViT-L
+    shapes, x24 blocks)."""
+    C = x.shape[-1]
+    if x.ndim == 2:
+        return x[None]
+    if x.shape[-2] % 8 == 0:
+        return x.reshape(1, -1, C)
+    return x.reshape(-1, x.shape[-2], C)
 
 
 def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
@@ -170,7 +184,7 @@ def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = x.shape
-    out = _fused_mlp(x.reshape(-1, shape[-1]), w1, b1, w2, b2, impl)
+    out = _fused_mlp(_as3d(x), w1, b1, w2, b2, impl)
     return out.reshape(shape)
 
 
@@ -189,11 +203,11 @@ def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
 
 def _mlp_ln_res_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                        o_ref, xn_ref, acc, *, nsub: int, eps: float):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        xf = x_ref[...].astype(jnp.float32)
+        xf = x_ref[0].astype(jnp.float32)
         m = xf.mean(axis=-1, keepdims=True)
         xc = xf - m
         v = (xc * xc).mean(axis=-1, keepdims=True)
@@ -210,52 +224,49 @@ def _mlp_ln_res_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     @pl.when(j == nsub - 1)
     def _():
         o_ref[...] = (acc[...] + b2_ref[0]
-                      + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+                      + x_ref[0].astype(jnp.float32)).astype(o_ref.dtype)[None]
 
 
-def _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps: float,
-                       block_m: int = 0, block_h: int = 512,
+def _mlp_ln_res_pallas(x3, gamma, beta, w1, b1, w2, b2, eps: float,
+                       block_n: int = 0, block_h: int = 512,
                        interpret: bool = False):
     # block_h 512 (vs 1024 in the plain kernel): the LN(x) cache scratch
-    # costs block_m*C extra VMEM, which pushed the 1024-column config
+    # costs block_n*C extra VMEM, which pushed the 1024-column config
     # 972K over the 16M scoped-vmem limit at ViT-L shapes; halving the
     # w1/w2 working blocks frees ~5M with identical HBM weight traffic
-    M, C = x2.shape
+    B, N, C = x3.shape
     H = w1.shape[1]
-    if block_m == 0:
-        block_m = _pick_block_m(M)
-    Mp = (M + block_m - 1) // block_m * block_m
-    if Mp != M:
-        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+    if block_n == 0:
+        block_n = _pick_block_n(N)
+    nN = -(-N // block_n)
     block_h = min(block_h, H)
     nsub = H // block_h
     kwargs = {"scratch_shapes": [
-        pltpu.VMEM((block_m, C), x2.dtype),       # LN(x) cache
-        pltpu.VMEM((block_m, C), jnp.float32),    # fc2 accumulator
+        pltpu.VMEM((block_n, C), x3.dtype),       # LN(x) cache
+        pltpu.VMEM((block_n, C), jnp.float32),    # fc2 accumulator
     ]} if pltpu is not None else {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"))
-    out = pl.pallas_call(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
         functools.partial(_mlp_ln_res_kernel, nsub=nsub, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
-        grid=(Mp // block_m, nsub),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x3.dtype),
+        grid=(B, nN, nsub),
         in_specs=[
-            pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
-            pl.BlockSpec((C, block_h), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_h), lambda i, j: (0, j)),
-            pl.BlockSpec((block_h, C), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, block_n, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((C, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((block_h, C), lambda b, i, j: (j, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m, C), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((1, block_n, C), lambda b, i, j: (b, i, 0)),
         interpret=interpret,
         **kwargs,
-    )(x2, gamma.reshape(1, C).astype(jnp.float32),
+    )(x3, gamma.reshape(1, C).astype(jnp.float32),
       beta.reshape(1, C).astype(jnp.float32),
       w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
-    return out[:M]
 
 
 def _ln_f32(x, gamma, beta, eps):
@@ -309,6 +320,5 @@ def fused_mlp_ln_res(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-6,
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = x.shape
-    out = _fused_mlp_ln_res(x.reshape(-1, shape[-1]), gamma, beta,
-                            w1, b1, w2, b2, eps, impl)
+    out = _fused_mlp_ln_res(_as3d(x), gamma, beta, w1, b1, w2, b2, eps, impl)
     return out.reshape(shape)

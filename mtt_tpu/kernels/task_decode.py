@@ -2,20 +2,28 @@
 
 The decode at each tap layer (reference cal_task_feature,
 TaskPrompter/models/transformers/taskprompter.py:434-474) scales the patch
-map per task by attention weights, adds the residual, and applies a
-per-task 1x1 projection — for both the spatial and the channel pathway.
-Done in XLA this materializes two (B, S, T, C) intermediates (84 MB each
-at ViT-L bench shapes) that exist only to feed grouped 1x1 convs
-(profiled ~0.5 ms of broadcast+format copies per tap layer). This kernel
-builds the scaled inputs in VMEM and runs the per-task projections
-directly: x is read once per spatial block, nothing intermediate touches
-HBM.
+map per task by attention weights, adds the residual, applies a per-task
+1x1 projection for both the spatial and the channel pathway, concatenates
+the two, and feeds a per-task 1x1 fuse conv (ref fuse stack
+taskprompter.py:477-486 first stage). Done in XLA this materializes two
+(B, S, T, C) intermediates (84 MB each at ViT-L bench shapes) plus the
+(B, S, T*2*tar) concat (49 MB written, re-read, and layout-copied into
+the fuse conv — profiled ~0.42 ms of pure data formatting per tap layer).
+This kernel builds the scaled inputs in VMEM, runs the per-task
+projections AND the first fuse projection in place, and writes one
+(B, S, T*final) tensor: x is read once per spatial block, nothing
+intermediate touches HBM, and the downstream (B, gh, gw, T*final)
+reshape is free.
+
+Grid is (B, spatial blocks) with a static task loop inside the kernel:
+every weight operand is constant-indexed (fetched into VMEM once for the
+whole call), the x block is read once for all T tasks, and all tasks'
+outputs land in one (block, T, final) block so no concat/interleave op
+exists downstream.
 
 Mosaic constraints shape the design: no lane-dim shape casts (the
 head-group broadcast is a (S, G) @ (G, C) 0/1 expansion matmul instead
-of a reshape) and no mid-block strided stores (each task's spatial and
-channel projections get their own full-block output ref; the task-major
-channel concat the fuse convs consume is one XLA fusion on the way out).
+of a reshape).
 
 Specialized to chan_nheads == 1 (every published TaskPrompter-ViT config);
 the windowed case falls back to the XLA composition.
@@ -39,51 +47,61 @@ except ImportError:  # pragma: no cover
 
 
 def _decode_kernel(x_ref, a_ref, cw_ref, ws_ref, bs_ref, wc_ref, bc_ref,
-                   *o_refs, T: int, G: int, tar: int):
+                   wf_ref, bf_ref, o_ref, *, T: int, G: int, tar: int):
     x = x_ref[0]                                   # (bs, C)
     S, C = x.shape
     gc = C // G
-    cw = cw_ref[0].astype(jnp.float32)             # (T, C)
-    xf = x.astype(jnp.float32)
     # per-head-group scale expanded to channels via a 0/1 matmul: Mosaic
     # cannot shape-cast (S, C) -> (S, G, gc) (lane-dim split), and a
-    # (S, G) @ (G, C) expansion dot is trivially cheap on the MXU
+    # (S, G) @ (G, C) expansion dot is trivially cheap on the MXU.
+    # Scaled inputs stay in x.dtype — identical precision to the XLA
+    # composition (which builds them in x.dtype too).
     rows = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1) // gc
-    expand = (rows == cols).astype(jnp.float32)    # (G, C)
+    expand = (rows == cols).astype(x.dtype)        # (G, C)
+    ys = []
     for t in range(T):
-        at = a_ref[0, t].astype(jnp.float32)       # (bs, G)
+        # f32 acc (Mosaic requires it), cast back: exact — the 0/1 matrix
+        # just selects one bf16 value per output element
         at_c = jax.lax.dot_general(
-            at, expand, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (bs, C)
-        f_in = xf * at_c + xf
-        fc_in = xf * cw[t] + xf
-        ws = ws_ref[0, t]                          # (C, tar)
-        wc = wc_ref[0, t]
+            a_ref[0, t], expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)   # (bs, C)
+        f_in = x * at_c + x
+        fc_in = x * cw_ref[0, t] + x
         f = jax.lax.dot_general(
-            f_in.astype(x.dtype), ws, (((1,), (0,)), ((), ())),
+            f_in, ws_ref[0, t], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bs_ref[0, t]
         fc = jax.lax.dot_general(
-            fc_in.astype(x.dtype), wc, (((1,), (0,)), ((), ())),
+            fc_in, wc_ref[0, t], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bc_ref[0, t]
-        o_refs[2 * t][0] = f.astype(o_refs[2 * t].dtype)
-        o_refs[2 * t + 1][0] = fc.astype(o_refs[2 * t + 1].dtype)
+        # first fuse stage folded in: y_t = [f_t; fc_t] @ wf_t + bf_t
+        y = jax.lax.dot_general(
+            f.astype(x.dtype), wf_ref[0, t, :tar], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(
+            fc.astype(x.dtype), wf_ref[0, t, tar:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ys.append((y + bf_ref[0, t]).astype(o_ref.dtype))
+    # single store of all tasks' outputs: a lane-dim concat (a store into
+    # the sublane-tiled T slot of a (bs, T, fin) block is an unsupported
+    # Mosaic shape cast)
+    o_ref[0] = jnp.concatenate(ys, axis=-1)
 
 
-def _decode_pallas(x, a, cw, ws, bs, wc, bc, block_s: int = 256,
+def _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf, block_s: int = 128,
                    interpret: bool = False):
     B, S, C = x.shape
     T, _, tar = ws.shape
+    fin = wf.shape[-1]
     G = a.shape[-1]
     nS = S // block_s
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"))
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_decode_kernel, T=T, G=G, tar=tar),
-        out_shape=[jax.ShapeDtypeStruct((B, S, tar), x.dtype)
-                   for _ in range(2 * T)],
+        out_shape=jax.ShapeDtypeStruct((B, S, T * fin), x.dtype),
         grid=(B, nS),
         in_specs=[
             pl.BlockSpec((1, block_s, C), lambda b, i: (b, i, 0)),
@@ -93,18 +111,18 @@ def _decode_pallas(x, a, cw, ws, bs, wc, bc, block_s: int = 256,
             pl.BlockSpec((1, T, 1, tar), lambda b, i: (0, 0, 0, 0)),
             pl.BlockSpec((1, T, C, tar), lambda b, i: (0, 0, 0, 0)),
             pl.BlockSpec((1, T, 1, tar), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, T, 2 * tar, fin), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, T, 1, fin), lambda b, i: (0, 0, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, block_s, tar), lambda b, i: (b, i, 0))
-                   for _ in range(2 * T)],
+        out_specs=pl.BlockSpec((1, block_s, T * fin), lambda b, i: (b, i, 0)),
         interpret=interpret,
         **kwargs,
-    )(x, a, cw, ws[None], bs[None, :, None], wc[None], bc[None, :, None])
-    # task-major channel concat [f_0, fc_0, f_1, fc_1, ...]: exactly the
-    # layout the grouped fuse convs consume — one XLA fusion
-    return jnp.concatenate(outs, axis=-1)
+    )(x, a.astype(x.dtype), cw.astype(x.dtype), ws[None],
+      bs[None, :, None], wc[None], bc[None, :, None],
+      wf[None], bf[None, :, None])
 
 
-def _decode_xla(x, a, cw, ws, bs, wc, bc):
+def _decode_xla(x, a, cw, ws, bs, wc, bc, wf, bf):
     B, S, C = x.shape
     T, _, tar = ws.shape
     G = a.shape[-1]
@@ -114,57 +132,64 @@ def _decode_xla(x, a, cw, ws, bs, wc, bc):
     f_in = (xg[:, :, None] * at[..., None]).reshape(B, S, T, C) \
         + x[:, :, None]
     fc_in = x[:, :, None] * cw[:, None].astype(x.dtype) + x[:, :, None]
-    f = jnp.einsum("bstc,tcr->bstr", f_in, ws,
-                   preferred_element_type=jnp.float32) + bs[None, None]
-    fc = jnp.einsum("bstc,tcr->bstr", fc_in, wc,
-                    preferred_element_type=jnp.float32) + bc[None, None]
-    cat = jnp.concatenate([f, fc], axis=-1)        # (B, S, T, 2*tar)
-    return cat.reshape(B, S, T * 2 * tar).astype(x.dtype)
+    f = (jnp.einsum("bstc,tcr->bstr", f_in, ws,
+                    preferred_element_type=jnp.float32)
+         + bs[None, None]).astype(x.dtype)
+    fc = (jnp.einsum("bstc,tcr->bstr", fc_in, wc,
+                     preferred_element_type=jnp.float32)
+          + bc[None, None]).astype(x.dtype)
+    y = jnp.einsum("bstr,trf->bstf", f, wf[:, :tar],
+                   preferred_element_type=jnp.float32)
+    y += jnp.einsum("bstr,trf->bstf", fc, wf[:, tar:],
+                    preferred_element_type=jnp.float32)
+    return (y + bf[None, None]).astype(x.dtype).reshape(B, S, -1)
 
 
-def _decode_ok(x, a, ws) -> bool:
+def _decode_ok(x, a, ws, wf) -> bool:
     if pltpu is None:
         return False
     B, S, C = x.shape
     T, _, tar = ws.shape
-    return (C % 128 == 0 and S % 256 == 0
-            and 2 * T * C * tar * x.dtype.itemsize <= 8 * 2 ** 20)
+    wbytes = (2 * T * C * tar + T * 2 * tar * wf.shape[-1]) * x.dtype.itemsize
+    return C % 128 == 0 and S % 128 == 0 and wbytes <= 9 * 2 ** 20
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _fused_decode(x, a, cw, ws, bs, wc, bc, impl: str):
-    if impl == "pallas" and _decode_ok(x, a, ws):
-        return _decode_pallas(x, a, cw, ws, bs, wc, bc)
-    if impl == "interpret" and _decode_ok(x, a, ws):
-        return _decode_pallas(x, a, cw, ws, bs, wc, bc, interpret=True)
-    return _decode_xla(x, a, cw, ws, bs, wc, bc)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl: str):
+    if impl == "pallas" and _decode_ok(x, a, ws, wf):
+        return _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf)
+    if impl == "interpret" and _decode_ok(x, a, ws, wf):
+        return _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf,
+                              interpret=True)
+    return _decode_xla(x, a, cw, ws, bs, wc, bc, wf, bf)
 
 
-def _decode_fwd(x, a, cw, ws, bs, wc, bc, impl):
-    return _fused_decode(x, a, cw, ws, bs, wc, bc, impl), \
-        (x, a, cw, ws, bs, wc, bc)
+def _decode_fwd(x, a, cw, ws, bs, wc, bc, wf, bf, impl):
+    return _fused_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl), \
+        (x, a, cw, ws, bs, wc, bc, wf, bf)
 
 
 def _decode_bwd(impl, res, g):
-    x, a, cw, ws, bs, wc, bc = res
+    x, a, cw, ws, bs, wc, bc, wf, bf = res
     _, vjp = jax.vjp(
-        lambda *args: _decode_xla(*args), x, a, cw, ws, bs, wc, bc)
+        lambda *args: _decode_xla(*args), x, a, cw, ws, bs, wc, bc, wf, bf)
     return vjp(g)
 
 
 _fused_decode.defvjp(_decode_fwd, _decode_bwd)
 
 
-def fused_task_decode(x, a, cw, ws, bs, wc, bc,
+def fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf,
                       impl: Optional[str] = None) -> jax.Array:
-    """Per-task spatial+channel decode projections.
+    """Per-task spatial+channel decode + first fuse projection.
 
     x: (B, S, C) patch map; a: (B, T, S, G) spatial attention weights
     (head-major groups); cw: (B, T, C) channel weights; ws/wc: (T, C, tar)
-    per-task projection kernels; bs/bc: (T, tar) biases.
-    Returns (B, S, T*2*tar) with task-major channels
-    [f_0, fc_0, f_1, fc_1, ...] where
-      f_t  = (x *g a_t + x) @ ws_t + bs_t
+    per-task projection kernels; bs/bc: (T, tar) biases; wf: (T, 2*tar, F)
+    per-task fuse kernels ([f; fc] row order); bf: (T, F).
+    Returns (B, S, T*F), task-major, where
+      y_t = [f_t; fc_t] @ wf_t + bf_t,
+      f_t  = (x *g a_t + x) @ ws_t + bs_t,
       fc_t = (x * cw_t + x) @ wc_t + bc_t
     """
     if impl is None:
@@ -172,4 +197,4 @@ def fused_task_decode(x, a, cw, ws, bs, wc, bc,
         impl = os.environ.get("MTT_DECODE_IMPL")
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    return _fused_decode(x, a, cw, ws, bs, wc, bc, impl)
+    return _fused_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl)

@@ -199,25 +199,31 @@ class TaskFeatureDecode(nn.Module):
         # BN over the merged T*final channels is exactly per-task BN.)
         if nh * nw == 1:
             # fused Pallas decode: the (B,S,T,C) scaled inputs are built in
-            # VMEM and projected per task without ever touching HBM
-            # (kernels/task_decode.py); params keep the grouped-conv tree
+            # VMEM, projected per task, and pushed through the first fuse
+            # projection without ever touching HBM (kernels/task_decode.py);
+            # params keep the grouped-conv tree
             from mtt_tpu.kernels.task_decode import fused_task_decode
             from mtt_tpu.models.layers import _Conv1x1Params
             ks, bsv = _Conv1x1Params(T * self.tar_dim, C,
                                      name=f"spa_{il}")()
             kc, bcv = _Conv1x1Params(T * self.tar_dim, C,
                                      name=f"chan_{il}")()
+            kf, bfv = _Conv1x1Params(T * self.final_dim, 2 * self.tar_dim,
+                                     name=f"fuse0_{il}")()
             S = gh * gw
             # (B,H,T,pl,S) -> (B,T,S,G) with head-major group order
             a = spa.reshape(B, T, G, S).transpose(0, 1, 3, 2)
             cwv = chan.reshape(B, T, pl, C)[:, :, 0]
             ws = ks.reshape(C, T, self.tar_dim).transpose(1, 0, 2)
             wc = kc.reshape(C, T, self.tar_dim).transpose(1, 0, 2)
+            wf = kf.reshape(2 * self.tar_dim, T, self.final_dim) \
+                .transpose(1, 0, 2)
             cat = fused_task_decode(
                 x_map.reshape(B, S, C), a.astype(x_map.dtype), cwv,
                 ws.astype(self.dtype), bsv.reshape(T, self.tar_dim),
-                wc.astype(self.dtype), bcv.reshape(T, self.tar_dim))
-            cat = cat.reshape(B, gh, gw, T * 2 * self.tar_dim) \
+                wc.astype(self.dtype), bcv.reshape(T, self.tar_dim),
+                wf.astype(self.dtype), bfv.reshape(T, self.final_dim))
+            cat = cat.reshape(B, gh, gw, T * self.final_dim) \
                 .astype(self.dtype)
         else:
             # spatial decode inputs built directly in (B,gh,gw,T,C) layout
@@ -244,8 +250,8 @@ class TaskFeatureDecode(nn.Module):
             fc = fc.reshape(B, gh, gw, T, self.tar_dim)
             cat = jnp.concatenate([f, fc], axis=-1).reshape(
                 B, gh, gw, T * 2 * self.tar_dim)
-        cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
-                      dtype=self.dtype, name=f"fuse0_{il}")(cat)
+            cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
+                          dtype=self.dtype, name=f"fuse0_{il}")(cat)
         cat = nn.Conv(T * self.final_dim, (3, 3), padding="SAME",
                       feature_group_count=T, dtype=self.dtype,
                       name=f"fuse1_{il}")(cat)

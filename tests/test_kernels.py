@@ -232,19 +232,23 @@ def test_fused_task_decode_matches_xla():
     bs = jnp.asarray(rng.normal(size=(T, tar)).astype(np.float32) * 0.05)
     wc = jnp.asarray(rng.normal(size=(T, C, tar)).astype(np.float32) * 0.05)
     bc = jnp.asarray(rng.normal(size=(T, tar)).astype(np.float32) * 0.05)
+    fin = 40
+    wf = jnp.asarray(
+        rng.normal(size=(T, 2 * tar, fin)).astype(np.float32) * 0.05)
+    bf = jnp.asarray(rng.normal(size=(T, fin)).astype(np.float32) * 0.05)
 
-    ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="xla")
-    out = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="interpret")
+    ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl="xla")
+    out = fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf,
+                            impl="interpret")
+    assert out.shape == (B, S, T * fin)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
     def loss_f(*args):
-        cat = fused_task_decode(*args, impl="xla")
-        f = cat.reshape(B, S, T, 2 * tar)[..., :tar]
-        fc = cat.reshape(B, S, T, 2 * tar)[..., tar:]
-        return (f ** 2).sum() + (fc ** 3).sum()
+        y = fused_task_decode(*args, impl="xla")
+        return (y ** 2).sum() + (y ** 3).sum()
 
-    def loss_p(x, a, cw, ws, bs, wc, bc):
+    def loss_p(x, a, cw, ws, bs, wc, bc, wf, bf):
         gc = C // G
         xg = x.reshape(B, S, G, gc)
         at = a.transpose(0, 2, 1, 3)
@@ -253,11 +257,14 @@ def test_fused_task_decode_matches_xla():
         fc_in = x[:, :, None] * cw[:, None] + x[:, :, None]
         f = jnp.einsum("bstc,tcr->bstr", f_in, ws) + bs[None, None]
         fc = jnp.einsum("bstc,tcr->bstr", fc_in, wc) + bc[None, None]
-        return (f ** 2).sum() + (fc ** 3).sum()
+        y = (jnp.einsum("bstr,trf->bstf", f, wf[:, :tar])
+             + jnp.einsum("bstr,trf->bstf", fc, wf[:, tar:])
+             + bf[None, None])
+        return (y ** 2).sum() + (y ** 3).sum()
 
-    args = (x, a, cw, ws, bs, wc, bc)
-    g1 = jax.grad(loss_f, argnums=tuple(range(7)))(*args)
-    g2 = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+    args = (x, a, cw, ws, bs, wc, bc, wf, bf)
+    g1 = jax.grad(loss_f, argnums=tuple(range(9)))(*args)
+    g2 = jax.grad(loss_p, argnums=tuple(range(9)))(*args)
     for a1, a2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    atol=2e-3, rtol=2e-3)

@@ -150,11 +150,12 @@ class TestPallasKernelsOnTPU:
 
     def test_task_decode_pallas_vs_xla(self):
         # fused task decode at TaskPrompter-ViT-L tap shape:
-        # S=1024 patches, C=1024, T=5 tasks, G=16 head groups, tar=350
+        # S=1024 patches, C=1024, T=5 tasks, G=16 head groups,
+        # tar=300 / final=350 (the published ViT-L config shapes)
         import jax.numpy as jnp
         from mtt_tpu.kernels.task_decode import fused_task_decode
         rng = _rng(7)
-        B, S, C, T, G, tar = 2, 1024, 1024, 5, 16, 384
+        B, S, C, T, G, tar = 2, 1024, 1024, 5, 16, 300
         mk = lambda s, sc=1.0: jnp.asarray(  # noqa: E731
             rng.normal(size=s).astype(np.float32) * sc, jnp.bfloat16)
         x = mk((B, S, C))
@@ -162,8 +163,12 @@ class TestPallasKernelsOnTPU:
         cw = mk((B, T, C))
         ws, wc = mk((T, C, tar), 0.03), mk((T, C, tar), 0.03)
         bs, bc = mk((T, tar), 0.03), mk((T, tar), 0.03)
-        ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="xla")
-        out = fused_task_decode(x, a, cw, ws, bs, wc, bc, impl="pallas")
+        fin = 350
+        wf, bf = mk((T, 2 * tar, fin), 0.03), mk((T, fin), 0.03)
+        ref = fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf,
+                                impl="xla")
+        out = fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf,
+                                impl="pallas")
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=5e-2, rtol=5e-2)
