@@ -267,9 +267,13 @@ def fused_attention_qkv(qkv, heads: int, scale: float,
 # attention in q-row chunks so the score buffer stays bounded, without
 # the scores ever leaving VMEM.
 #
-# Tap layers (need_qkv=True) use the XLA composition instead: they need
-# the qkv tensor and LN(x) materialized in HBM for the raw prompt-score
-# decode anyway, so there is nothing to fuse away.
+# Tap layers (need_qkv=True) run a two-kernel composition: the fused LN
+# kernel materializes LN(x) in HBM (the raw prompt-score decode consumes
+# it anyway), then an emit variant of this kernel consumes LN(x), writes
+# its qkv column slice to HBM (head-major — exactly the layout the raw
+# score einsums want, killing the layout copy XLA inserted between its
+# own qkv matmul and the attention custom call), and runs the same
+# softmax attention.
 #
 # The output projection stays in XLA: it is a plain matmul that XLA runs
 # at speed-of-light and fuses the residual add into.
@@ -286,20 +290,23 @@ def _ln_rows(xb, g, be, eps):
     return (xc * jax.lax.rsqrt(v + eps) * g + be).astype(xb.dtype)
 
 
-def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, *,
-                        scale: float, D: int, hpb: int, eps: float):
-    xn = _ln_rows(x_ref[0], g_ref[0], be_ref[0], eps)
+def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
+                        *maybe_qkv_ref, scale: float, D: int, hpb: int,
+                        eps: float, ln: bool, q_chunk: int):
+    xn = _ln_rows(x_ref[0], g_ref[0], be_ref[0], eps) if ln else x_ref[0]
     qkv = jax.lax.dot_general(
         xn, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + b_ref[0]).astype(x_ref.dtype)    # (N, hpb*3D)
+    if maybe_qkv_ref:
+        maybe_qkv_ref[0][0] = qkv
     N = qkv.shape[0]
     for h in range(hpb):
         base = h * 3 * D
         k = qkv[:, base + D:base + 2 * D]
         v = qkv[:, base + 2 * D:base + 3 * D]
-        for q0 in range(0, N, _Q_CHUNK):
-            q = qkv[q0:q0 + _Q_CHUNK, base:base + D] \
+        for q0 in range(0, N, q_chunk):
+            q = qkv[q0:q0 + q_chunk, base:base + D] \
                 * jnp.asarray(scale, qkv.dtype)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -315,17 +322,26 @@ def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref, *,
 
 
 def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
-                        eps: float, hpb: int = 2, interpret: bool = False):
+                        eps: float, hpb: int = 2, ln: bool = True,
+                        emit: bool = False, interpret: bool = False):
     B, N, C = x.shape
     D = w.shape[1] // heads // 3
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"))
+    out_shape = [jax.ShapeDtypeStruct((B, N, heads * D), x.dtype)]
+    out_specs = [pl.BlockSpec((1, N, hpb * D), lambda bi, h: (bi, 0, h))]
+    if emit:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, N, heads * 3 * D), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, N, hpb * 3 * D), lambda bi, h: (bi, 0, h)))
     out = pl.pallas_call(
         functools.partial(_attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb,
-                          eps=eps),
-        out_shape=jax.ShapeDtypeStruct((B, N, heads * D), x.dtype),
+                          eps=eps, ln=ln,
+                          q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK),
+        out_shape=out_shape,
         grid=(B, heads // hpb),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda bi, h: (bi, 0, 0)),
@@ -334,12 +350,12 @@ def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
             pl.BlockSpec((C, hpb * 3 * D), lambda bi, h: (0, h)),
             pl.BlockSpec((1, hpb * 3 * D), lambda bi, h: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, N, hpb * D), lambda bi, h: (bi, 0, h)),
+        out_specs=out_specs,
         interpret=interpret,
         **kwargs,
     )(x, gamma.reshape(1, C).astype(jnp.float32),
       beta.reshape(1, C).astype(jnp.float32), w, b.reshape(1, -1))
-    return out
+    return out if emit else out[0]
 
 
 def _ln_f32_full(x, gamma, beta, eps):
@@ -362,16 +378,18 @@ def _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
     return (out, qkv, xn) if emit else out
 
 
-def _attn_ln_ok(x, w, heads: int, hpb: int = 2) -> bool:
+def _attn_ln_ok(x, w, heads: int, hpb: int = 2, emit: bool = False) -> bool:
     B, N, C = x.shape
     D = w.shape[1] // heads // 3
     cols = hpb * 3 * D
     # peak-phase VMEM estimate (bytes): x double-buffered + w db + qkv
     # bf16 + one q-chunk of logits f32 + its exp + bf16 cast + out db;
-    # the LN transient and f32 qkv live only before the score phase
-    qc = min(_Q_CHUNK, N)
+    # the LN transient and f32 qkv live only before the score phase.
+    # emit adds the double-buffered qkv output block (the q-chunk halves).
+    qc = min(_Q_CHUNK // 2 if emit else _Q_CHUNK, N)
     it = x.dtype.itemsize
-    peak = max(
+    ex = 2 * N * cols * it if emit else 0
+    peak = ex + max(
         2 * N * C * it + 2 * C * cols * it + N * cols * (4 + it) + N * C * it,
         2 * N * C * it + 2 * C * cols * it + N * cols * it
         + qc * N * (4 + 4 + it) + 2 * N * hpb * D * it)
@@ -379,16 +397,35 @@ def _attn_ln_ok(x, w, heads: int, hpb: int = 2) -> bool:
             and peak <= 14 * 2 ** 20)
 
 
+def _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale, eps,
+                             interpret=False):
+    # two-kernel tap composition: LN(x) lands in HBM for the raw-score
+    # decode; the attention kernel consumes it pre-normalized and emits
+    # the qkv tensor head-major (no XLA-side matmul or layout copy)
+    from mtt_tpu.kernels.layernorm import fused_layernorm
+    xn = fused_layernorm(x, gamma, beta, eps=eps,
+                         impl="interpret" if interpret else "pallas")
+    out, qkv = _attn_ln_qkv_pallas(xn, gamma, beta, w, b, heads, scale,
+                                   eps, ln=False, emit=True,
+                                   interpret=interpret)
+    return out, qkv, xn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _fused_attn_ln_qkv(x, gamma, beta, w, b, heads: int, scale: float,
                        eps: float, emit: bool, impl: str):
-    if not emit:
-        if impl == "pallas" and _attn_ln_ok(x, w, heads):
+    if impl == "pallas" and _attn_ln_ok(x, w, heads, emit=emit):
+        if not emit:
             return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
                                        eps)
-        if impl == "interpret" and _attn_ln_ok(x, w, heads):
+        return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale,
+                                        eps)
+    if impl == "interpret" and _attn_ln_ok(x, w, heads, emit=emit):
+        if not emit:
             return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
                                        eps, interpret=True)
+        return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale,
+                                        eps, interpret=True)
     return _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
                             sub_impl=impl)
 

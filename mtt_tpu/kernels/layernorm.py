@@ -27,40 +27,40 @@ except ImportError:  # pragma: no cover
 
 
 def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
-    x = x_ref[...].astype(jnp.float32)        # (bm, C)
+    x = x_ref[0].astype(jnp.float32)          # (bn, C)
     m = x.mean(axis=-1, keepdims=True)
     xc = x - m
     v = (xc * xc).mean(axis=-1, keepdims=True)
     y = xc * jax.lax.rsqrt(v + eps)
-    o_ref[...] = (y * g_ref[0] + b_ref[0]).astype(o_ref.dtype)
+    o_ref[...] = ((y * g_ref[0] + b_ref[0]).astype(o_ref.dtype))[None]
 
 
-def _ln_pallas(x2, gamma, beta, eps: float, block_m: int = 512,
-               interpret: bool = False):
-    """x2: (M, C) -> (M, C), fp32 statistics, affine in fp32."""
-    M, C = x2.shape
-    Mp = (M + block_m - 1) // block_m * block_m
-    if Mp != M:
-        x2 = jnp.pad(x2, [(0, Mp - M), (0, 0)])
+def _ln_pallas(x3, gamma, beta, eps: float, interpret: bool = False):
+    """x3: (B, N, C) -> (B, N, C), fp32 statistics, affine in fp32.
+    3D row blocks (see mlp._pick_block_n): an 8-unaligned N flattened to
+    2D would physically re-tile the T(8,128) layout on both sides."""
+    from mtt_tpu.kernels.mlp import _pick_block_n
+    B, N, C = x3.shape
+    block_n = _pick_block_n(N)
+    nN = -(-N // block_n)
     kwargs = {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
-    out = pl.pallas_call(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
-        grid=(Mp // block_m,),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x3.dtype),
+        grid=(B, nN),
         in_specs=[
-            pl.BlockSpec((block_m, C), lambda i: (i, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, block_n, C), lambda b, i: (b, i, 0)),
         interpret=interpret,
         **kwargs,
-    )(x2, gamma.reshape(1, C).astype(jnp.float32),
+    )(x3, gamma.reshape(1, C).astype(jnp.float32),
       beta.reshape(1, C).astype(jnp.float32))
-    return out[:M]
 
 
 def _ln_xla(x2, gamma, beta, eps: float):
@@ -117,8 +117,8 @@ def fused_layernorm(x, gamma, beta, eps: float = 1e-6,
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = x.shape
-    x2 = x.reshape(-1, shape[-1])
-    out = _fused_ln(x2, gamma, beta, eps, impl)
+    from mtt_tpu.kernels.mlp import _as3d
+    out = _fused_ln(_as3d(x), gamma, beta, eps, impl)
     return out.reshape(shape)
 
 

@@ -147,6 +147,15 @@ class TestPallasKernelsOnTPU:
         out = np.asarray(fused_attention_ln_qkv(x, ga, be, w, b, H,
                                                 impl="pallas"), np.float32)
         np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+        # tap (emit) variant: LN kernel + qkv-emitting attention kernel
+        r3 = fused_attention_ln_qkv(x, ga, be, w, b, H, need_qkv=True,
+                                    impl="xla")
+        o3 = fused_attention_ln_qkv(x, ga, be, w, b, H, need_qkv=True,
+                                    impl="pallas")
+        for rr, oo in zip(r3, o3):
+            np.testing.assert_allclose(np.asarray(oo, np.float32),
+                                       np.asarray(rr, np.float32),
+                                       atol=3e-2, rtol=3e-2)
 
     def test_task_decode_pallas_vs_xla(self):
         # fused task decode at TaskPrompter-ViT-L tap shape:
