@@ -76,9 +76,17 @@ def load_det_json(det_path: str, max_boxes: int) -> Dict[str, np.ndarray]:
         out["det_depths"][n] = depth
         out["det_labels"][n] = LABEL_TO_ID[obj["label"]]
         bb = obj["2d"]
-        out["det_bboxes2d"][n] = np.asarray(bb["modal"], np.float32)
-        out["det_bboxes2d_amodal"][n] = np.asarray(
-            bb.get("amodal", bb["modal"]), np.float32)
+
+        def _xywh_to_xyxy(r):
+            # official JSON 2D boxes are [x, y, w, h]
+            # (cityscapesscripts CsBbox2d); internal targets are xyxy
+            r = np.asarray(r, np.float32)
+            return np.asarray([r[0], r[1], r[0] + r[2], r[1] + r[3]],
+                              np.float32)
+
+        out["det_bboxes2d"][n] = _xywh_to_xyxy(bb["modal"])
+        out["det_bboxes2d_amodal"][n] = _xywh_to_xyxy(
+            bb.get("amodal", bb["modal"]))
         out["det_valid"][n] = 1.0
         n += 1
     return out, K, {"fx": sensor["fx"], "fy": sensor["fy"],

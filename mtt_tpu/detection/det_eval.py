@@ -34,9 +34,11 @@ def _gt_objects_from_batch(batch, i) -> list:
         cam = batch["meta"][i]["camera"]
         q_s = euler_zxy_to_quat_s(b3d[6:9])
         c_v, q_v = box_s_to_v(b3d[:3], q_s, cam["sensor_T_ISO_8855"])
+        x0, y0, x1, y1 = [float(x) for x in batch["det_bboxes2d"][i][j]]
         out.append({
             "label": EVAL_LABELS[int(batch["det_labels"][i][j])],
-            "2d": {"modal": [float(x) for x in batch["det_bboxes2d"][i][j]]},
+            # object dicts carry official-format xywh 2D boxes
+            "2d": {"modal": [x0, y0, x1 - x0, y1 - y0]},
             "3d": {"center": [float(x) for x in c_v],
                    "dimensions": [float(x) for x in b3d[3:6]],
                    "rotation": [float(x) for x in q_v]},

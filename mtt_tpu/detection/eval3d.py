@@ -97,12 +97,15 @@ class Box3dEvaluator:
         if "3d" not in o:
             return None
         c = np.asarray(o["3d"]["center"], np.float64)
+        # official JSON 2D boxes are [x, y, w, h] (CsBbox2d stores xywh and
+        # exposes the xyxy property bbox_modal); convert for IoU
+        m = np.asarray(o["2d"]["modal"], np.float64)
         return {
             "label": o["label"],
             "center": c,
             "dims": np.asarray(o["3d"]["dimensions"], np.float64),
             "rotation": np.asarray(o["3d"]["rotation"], np.float64),
-            "modal": np.asarray(o["2d"]["modal"], np.float64),
+            "modal": np.asarray([m[0], m[1], m[0] + m[2], m[1] + m[3]]),
             "score": float(o.get("score", 1.0)),
             # CsBbox3d.depth is the INT BEV distance (astype(int) in
             # cityscapesscripts.helpers.annotation); binning must match
@@ -119,10 +122,11 @@ class Box3dEvaluator:
         # (evalObjectDetection3d.py:485-502)
         ign = []
         for o in ignore_objects:
-            if "2d" in o:
-                ign.append(np.asarray(o["2d"], np.float64))
-            elif "bbox" in o:
-                ign.append(np.asarray(o["bbox"], np.float64))
+            r = o.get("2d", o.get("bbox"))
+            if r is not None:
+                r = np.asarray(r, np.float64)     # official xywh -> xyxy
+                ign.append(np.asarray([r[0], r[1], r[0] + r[2],
+                                       r[1] + r[3]]))
         self.ignores[name] = ign
 
     def load_folders(self, gt_folder: str, pred_folder: str):

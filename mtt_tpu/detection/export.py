@@ -16,7 +16,32 @@ from typing import Dict, List
 import numpy as np
 
 from mtt_tpu.detection.cs_geometry import (EVAL_LABELS, box_s_to_v,
-                                           euler_zxy_to_quat_s)
+                                           euler_zxy_to_quat_s,
+                                           k_multiplier, projection_matrix,
+                                           quat_to_matrix)
+
+_CORNER_SIGNS = np.array([[sx, sy, sz] for sx in (-0.5, 0.5)
+                          for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)])
+
+
+def _amodal_box_2d(center_s, dims_lwh, quat_s, camera) -> List[float]:
+    """Projection of the full 3D box onto the image (reference
+    get_amodal_box_2d via Box3dImageTransform, det_tools.py:275-279):
+    rotate the 8 local corners (x=L forward, y=W left, z=H up) into the
+    S frame, permute S->camera axes, project with the intrinsics, and
+    take the corner envelope. Corners behind the image plane are clamped
+    to a near plane so a partially-behind box still yields a finite box."""
+    local = _CORNER_SIGNS * np.asarray(dims_lwh, np.float64)
+    pts_s = local @ quat_to_matrix(quat_s).T + np.asarray(center_s)
+    cam = pts_s @ k_multiplier().T                      # camera axes
+    cam[:, 2] = np.maximum(cam[:, 2], 1e-2)
+    K = projection_matrix(camera["fx"], camera["fy"],
+                          camera["u0"], camera["v0"])
+    uvw = cam @ K.T
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    x0, y0 = uv.min(axis=0)
+    x1, y1 = uv.max(axis=0)
+    return [float(x0), float(y0), float(x1 - x0), float(y1 - y0)]
 
 
 def bbox_to_json_objects(boxes3d: np.ndarray, bboxes2d: np.ndarray,
@@ -31,9 +56,11 @@ def bbox_to_json_objects(boxes3d: np.ndarray, bboxes2d: np.ndarray,
         b = np.asarray(boxes3d[i], np.float64)
         q_s = euler_zxy_to_quat_s(b[6:9])
         c_v, q_v = box_s_to_v(b[:3], q_s, ext)
-        bb = [float(x) for x in np.asarray(bboxes2d[i])]
+        x0, y0, x1, y1 = [float(x) for x in np.asarray(bboxes2d[i])]
+        bb = [x0, y0, x1 - x0, y1 - y0]           # official xywh
+        amodal = _amodal_box_2d(b[:3], b[3:6], q_s, camera)
         out.append({
-            "2d": {"modal": bb, "amodal": bb},
+            "2d": {"modal": bb, "amodal": amodal},
             "3d": {
                 "center": [float(x) for x in c_v],
                 "dimensions": [float(x) for x in b[3:6]],

@@ -99,3 +99,31 @@ def test_export_roundtrip_v_frame():
     np.testing.assert_allclose(c_s2, c_s, atol=1e-9)
     e2 = rotation_s_to_euler_zxy(q_s2)
     np.testing.assert_allclose(e2, e, atol=1e-6)
+
+
+def test_official_xywh_json_convention():
+    """Object-dict 2D boxes follow the official [x, y, w, h] JSON format
+    (cityscapesscripts CsBbox2d stores xywh; bbox_modal exposes xyxy):
+    the evaluator must convert at parse, and the exporter must write xywh
+    plus a projected amodal envelope (det_tools.py:275-279)."""
+    ev = Box3dEvaluator(labels=("car",))
+    o = make_obj(box=(100, 200, 80, 60))          # xywh
+    rec = ev._norm_obj(o)
+    np.testing.assert_allclose(rec["modal"], [100, 200, 180, 260])
+
+    from mtt_tpu.detection.export import bbox_to_json_objects
+    cam = {"fx": 1000.0, "fy": 1000.0, "u0": 500.0, "v0": 300.0,
+           "sensor_T_ISO_8855": np.eye(4)[:3]}
+    # S-frame box 20m ahead, axis-aligned, L=4 W=2 H=1.5
+    boxes3d = np.array([[20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0, 0, 0]])
+    bb2d = np.array([[450.0, 250.0, 550.0, 350.0]])  # internal xyxy
+    objs = bbox_to_json_objects(boxes3d, bb2d, np.array([0.9]),
+                                np.array([0]), np.array([1.0]), cam)
+    assert objs[0]["2d"]["modal"] == [450.0, 250.0, 100.0, 100.0]
+    # amodal: corners at x_S in {18, 22}, y_S +-1, z_S +-0.75;
+    # u = u0 + fx * (-y_S)/x_S -> max half-width at near face: 1000/18
+    ax, ay, aw, ah = objs[0]["2d"]["amodal"]
+    np.testing.assert_allclose(ax, 500 - 1000 / 18, rtol=1e-6)
+    np.testing.assert_allclose(ax + aw, 500 + 1000 / 18, rtol=1e-6)
+    np.testing.assert_allclose(ay, 300 - 750 / 18, rtol=1e-6)
+    np.testing.assert_allclose(ay + ah, 300 + 750 / 18, rtol=1e-6)
