@@ -68,7 +68,7 @@ class FCOS3DHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: List[jax.Array], *, train: bool = False):
+    def __call__(self, feats: List[jax.Array], train: bool = False):
         """feats: FPN level features. Returns per-level lists
         (cls_scores, bbox_preds, dir_preds, centernesses), NHWC."""
         scale_dim = 3 + (1 if self.pred_bbox2d else 0)
@@ -144,7 +144,7 @@ class DetectionHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: List[jax.Array], *, train: bool = False):
+    def __call__(self, feats: List[jax.Array], train: bool = False):
         neck = FPN(out_channels=self.det_cfg["neck"]["out_channels"],
                    num_outs=self.det_cfg["neck"]["num_outs"],
                    dtype=self.dtype, name="fpn")

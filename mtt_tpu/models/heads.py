@@ -19,7 +19,7 @@ class MLPHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        name="linear_pred")(x)
 
@@ -30,7 +30,7 @@ class ConvHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         C = x.shape[-1]
         x = ConvBNAct(C, (3, 3), act=nn.gelu, use_bias=True, dtype=self.dtype,
                       name="mt_proj")(x, train=train)
@@ -44,7 +44,7 @@ class DEConvHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         C = x.shape[-1]
         x = nn.ConvTranspose(C // 2, (2, 2), strides=(2, 2), dtype=self.dtype,
                              name="deconv")(x)

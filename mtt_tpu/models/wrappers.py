@@ -144,17 +144,24 @@ class TaskPrompterSwinNet(nn.Module):
             dtype=self.dtype, name="backbone")
         task_features = backbone(x, train=train)
 
+        # training at Cityscapes resolution OOMs HBM without rematerialising
+        # the heads too: the deconv/DCN towers' linearisation buffers at
+        # 1/4-resolution dwarf the Swin blocks' (which backbone remat
+        # already covers)
         head_cls = HEADS[self.head_name]
+        if self.remat:
+            head_cls = nn.remat(head_cls, static_argnums=(2,))
         out = {}
         for t in self.tasks:
             if t == "3ddet":
                 from mtt_tpu.detection.fcos3d_head import DetectionHead
-                out[t] = DetectionHead(det_cfg=self.det_cfg, dtype=self.dtype,
-                                       name="det_head")(task_features[t],
-                                                        train=train)
+                det_cls = (nn.remat(DetectionHead, static_argnums=(2,))
+                           if self.remat else DetectionHead)
+                out[t] = det_cls(det_cfg=self.det_cfg, dtype=self.dtype,
+                                 name="det_head")(task_features[t], train)
                 continue
             logits = head_cls(self.num_outputs[t], dtype=self.dtype,
-                              name=f"head_{t}")(task_features[t], train=train)
+                              name=f"head_{t}")(task_features[t], train)
             out[t] = interpolate(logits, target_size, "bilinear")
         return out
 

@@ -48,7 +48,11 @@ def _batch(p, B=2, h=64, w=128):
     return batch
 
 
-def test_cs3d_joint_train_step():
+import pytest
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_cs3d_joint_train_step(remat):
     from mtt_tpu.models.wrappers import TaskPrompterSwinNet
     from mtt_tpu.utils.train_utils import Trainer
 
@@ -57,7 +61,7 @@ def test_cs3d_joint_train_step():
         tasks=tuple(p.TASKS.NAMES), num_outputs=dict(p.TASKS.NUM_OUTPUT),
         tar_dim=12, final_dim=20, chan_embed_dim=16, det_cfg=p.det_cfg,
         target_size=(32, 64), embed_dim=16, depths=(1, 1, 1, 1),
-        num_heads=(2, 2, 2, 2), window_size=4)
+        num_heads=(2, 2, 2, 2), window_size=4, remat=remat)
     trainer = Trainer(p, model)
     batch = _batch(p)
     # labels at dd size
