@@ -34,6 +34,27 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Fast softmax for the pre-norm qkv kernels: fold log2(e) into the score
+# scale and use exp2 WITHOUT the running-max subtraction. The max-reduce
+# is the one softmax op Mosaic cannot fuse into the exponentiation pass
+# (cross-lane reduction + broadcast); dropping it converts the softmax
+# from ~2 VPU passes over the (q_chunk, N) score matrix to 1 and measures
+# 36% faster end-to-end on the fused LN+qkv+attention kernel at ViT-L
+# bench shapes (2.571 -> 1.643 ms, tools/proto_attn_ln.py on v5e).
+#
+# Validity: softmax(x) = exp2(s*x) / sum(exp2(s*x)) exactly, provided
+# exp2 never overflows. f32 exp2 overflows above 2^128, so logits are
+# clamped at 126 (an elementwise min with a scalar — fuses into the same
+# VPU pass as exp2). These kernels only ever see q,k projected from
+# LayerNormed activations, whose logits in trained ViTs stay |l| < ~50;
+# the clamp only engages (and then degrades toward a uniform max-logit
+# softmax instead of producing inf/nan) in pathological cases. The
+# generic q/k/v kernel (_attn_kernel) keeps the max-subtracted form: its
+# inputs carry no LN bound.
+_LOG2E = 1.4426950408889634
+_EXP2_CLAMP = 126.0
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
     """One (batch*head, q-block) cell: softmax(q K^T + bias) V.
 
@@ -148,15 +169,15 @@ _fused_attention.defvjp(_fwd, _bwd)
 
 def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int):
     blk = kv_ref[0]                            # (N, hpb*3*D)
+    s2 = jnp.asarray(scale * _LOG2E, blk.dtype)
     for h in range(hpb):
         base = h * 3 * D
-        q = blk[:, base:base + D] * jnp.asarray(scale, blk.dtype)
+        q = blk[:, base:base + D] * s2
         k = blk[:, base + D:base + 2 * D]
         v = blk[:, base + 2 * D:base + 3 * D]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
+        p = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP))
         s = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((1,), (0,)), ((), ())),
@@ -301,18 +322,17 @@ def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
     if maybe_qkv_ref:
         maybe_qkv_ref[0][0] = qkv
     N = qkv.shape[0]
+    s2 = jnp.asarray(scale * _LOG2E, qkv.dtype)
     for h in range(hpb):
         base = h * 3 * D
         k = qkv[:, base + D:base + 2 * D]
         v = qkv[:, base + 2 * D:base + 3 * D]
         for q0 in range(0, N, q_chunk):
-            q = qkv[q0:q0 + q_chunk, base:base + D] \
-                * jnp.asarray(scale, qkv.dtype)
+            q = qkv[q0:q0 + q_chunk, base:base + D] * s2
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
+            p = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP))
             s = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(p.astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
