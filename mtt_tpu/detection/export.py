@@ -22,6 +22,10 @@ from mtt_tpu.detection.cs_geometry import (EVAL_LABELS, box_s_to_v,
 
 _CORNER_SIGNS = np.array([[sx, sy, sz] for sx in (-0.5, 0.5)
                           for sy in (-0.5, 0.5) for sz in (-0.5, 0.5)])
+# 12 box edges = corner pairs whose sign index differs in exactly one bit
+_BOX_EDGES = [(i, j) for i in range(8) for j in range(i + 1, 8)
+              if bin(i ^ j).count("1") == 1]
+_NEAR_PLANE = 0.25  # metres in front of the camera
 
 
 def _amodal_box_2d(center_s, dims_lwh, quat_s, camera) -> List[float]:
@@ -29,12 +33,23 @@ def _amodal_box_2d(center_s, dims_lwh, quat_s, camera) -> List[float]:
     get_amodal_box_2d via Box3dImageTransform, det_tools.py:275-279):
     rotate the 8 local corners (x=L forward, y=W left, z=H up) into the
     S frame, permute S->camera axes, project with the intrinsics, and
-    take the corner envelope. Corners behind the image plane are clamped
-    to a near plane so a partially-behind box still yields a finite box."""
+    take the corner envelope. Corners behind the camera are handled by
+    clipping each box edge against a near plane (geometrically exact for
+    the in-front portion) rather than clamping corner depths, which
+    previously inflated the envelope by ~1/z_clamp for partially-behind
+    boxes; a box fully behind the plane yields a zero-area box."""
     local = _CORNER_SIGNS * np.asarray(dims_lwh, np.float64)
     pts_s = local @ quat_to_matrix(quat_s).T + np.asarray(center_s)
     cam = pts_s @ k_multiplier().T                      # camera axes
-    cam[:, 2] = np.maximum(cam[:, 2], 1e-2)
+    z = cam[:, 2]
+    pts = [cam[i] for i in range(8) if z[i] >= _NEAR_PLANE]
+    for i, j in _BOX_EDGES:
+        if (z[i] >= _NEAR_PLANE) != (z[j] >= _NEAR_PLANE):
+            t = (_NEAR_PLANE - z[i]) / (z[j] - z[i])
+            pts.append(cam[i] + t * (cam[j] - cam[i]))
+    if not pts:
+        return [0.0, 0.0, 0.0, 0.0]
+    cam = np.asarray(pts)
     K = projection_matrix(camera["fx"], camera["fy"],
                           camera["u0"], camera["v0"])
     uvw = cam @ K.T

@@ -53,6 +53,46 @@ def _ceil_to(x: int, m: int) -> int:
 # inputs carry no LN bound.
 _LOG2E = 1.4426950408889634
 _EXP2_CLAMP = 126.0
+# floor with headroom: exp2(-126.) is the fp32 normal/underflow boundary and
+# XLA's exp2 lowering (exp(x*ln2)) returns exactly 0 there on some backends;
+# exp2(-120) = 7.5e-37 is comfortably normal on all of them
+_EXP2_FLOOR = -120.0
+
+
+def _safe_softmax_env() -> bool:
+    """MTT_ATTN_SAFE_SOFTMAX=1 routes the qkv kernels to the max-subtracted
+    softmax (read at trace time; changing it requires a fresh jit)."""
+    import os
+    return os.environ.get("MTT_ATTN_SAFE_SOFTMAX", "0") not in ("", "0")
+
+
+def _fast_exp2_probs(logits, safe: bool, n_keys: Optional[int] = None):
+    """exp2 probabilities for pre-scaled (log2e-folded) fp32 logits.
+
+    Fast path: no running-max subtraction — one VPU pass instead of two;
+    exact softmax whenever max|logit| < 126, which holds for q/k projected
+    from LayerNormed activations in trained ViTs (|raw logit| < ~50). The
+    two-sided clamp makes failure modes non-silent-NaN: the +126 side keeps
+    exp2 finite, and the -120 floor keeps every probability a strictly
+    positive fp32 normal (TPU flushes denormals, and exp2(-126) itself
+    underflows to 0 under XLA's exp-based lowering) so a row of very
+    negative logits can never produce a 0/0 NaN; it degrades toward
+    uniform instead.
+    Safe path (MTT_ATTN_SAFE_SOFTMAX=1): row-max subtraction — exact at any
+    logit magnitude, for training runs where LN-boundedness is not trusted
+    (e.g. attention-logit growth, the ViT-22B failure mode).
+    """
+    if safe:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        return jnp.exp2(logits - m)
+    # leave log2(n_keys) headroom so the row SUM of clamped probabilities
+    # (up to n_keys * 2^clamp) stays below the f32 max — otherwise a row
+    # with many clamped logits yields inf/inf = NaN instead of degrading
+    # toward uniform
+    import math
+    hi = _EXP2_CLAMP - (math.ceil(math.log2(n_keys))
+                        if n_keys else 16)
+    return jnp.exp2(jnp.clip(logits, _EXP2_FLOOR, hi))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
@@ -167,7 +207,8 @@ _fused_attention.defvjp(_fwd, _bwd)
 # output ref keep peak VMEM under the 16 MB budget.
 # ---------------------------------------------------------------------------
 
-def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int):
+def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int,
+                     safe: bool):
     blk = kv_ref[0]                            # (N, hpb*3*D)
     s2 = jnp.asarray(scale * _LOG2E, blk.dtype)
     for h in range(hpb):
@@ -177,7 +218,7 @@ def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int):
         v = blk[:, base + 2 * D:base + 3 * D]
         logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        p = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP))
+        p = _fast_exp2_probs(logits, safe, k.shape[0])
         s = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p.astype(v.dtype), v,
                                 (((1,), (0,)), ((), ())),
@@ -194,7 +235,8 @@ def _attn_qkv_pallas(qkv, heads: int, scale: float, hpb: int = 2,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"))
     return pl.pallas_call(
-        functools.partial(_attn_qkv_kernel, scale=scale, D=D, hpb=hpb),
+        functools.partial(_attn_qkv_kernel, scale=scale, D=D, hpb=hpb,
+                          safe=_safe_softmax_env()),
         out_shape=jax.ShapeDtypeStruct((B, N, heads * D), qkv.dtype),
         grid=(B, heads // hpb),
         in_specs=[pl.BlockSpec((1, N, hpb * 3 * D), lambda b, h: (b, 0, h))],
@@ -264,6 +306,14 @@ def fused_attention_qkv(qkv, heads: int, scale: float,
     order (each head's q, k, v are contiguous); returns (B, N, H*D) in
     standard head-concat order, ready for the output projection.
 
+    PRECONDITION (TPU pallas path): the fast exp2 softmax assumes
+    LN-bounded inputs — qkv must be projected from LayerNormed activations
+    so scaled logits stay within (-126, 126); see _fast_exp2_probs. Out of
+    that range the forward degrades toward a clamped-uniform softmax (no
+    NaN) while the XLA fallback used on CPU/tests stays exact, so tolerance
+    tests cannot catch it — set MTT_ATTN_SAFE_SOFTMAX=1 or use
+    fused_attention (max-subtracted everywhere) for unbounded inputs.
+
     NOTE the column order differs from the torch/npz convention (3, H, D);
     converters reorder the qkv projection weights accordingly.
     """
@@ -313,7 +363,7 @@ def _ln_rows(xb, g, be, eps):
 
 def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
                         *maybe_qkv_ref, scale: float, D: int, hpb: int,
-                        eps: float, ln: bool, q_chunk: int):
+                        eps: float, ln: bool, q_chunk: int, safe: bool):
     xn = _ln_rows(x_ref[0], g_ref[0], be_ref[0], eps) if ln else x_ref[0]
     qkv = jax.lax.dot_general(
         xn, w_ref[...], (((1,), (0,)), ((), ())),
@@ -332,7 +382,7 @@ def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            p = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP))
+            p = _fast_exp2_probs(logits, safe, k.shape[0])
             s = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(p.astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
@@ -360,7 +410,8 @@ def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
     out = pl.pallas_call(
         functools.partial(_attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb,
                           eps=eps, ln=ln,
-                          q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK),
+                          q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK,
+                          safe=_safe_softmax_env()),
         out_shape=out_shape,
         grid=(B, heads // hpb),
         in_specs=[
@@ -478,7 +529,13 @@ def fused_attention_ln_qkv(x, gamma, beta, w, b, heads: int,
     LN(x) @ w + b, with w's columns in HEAD-MAJOR (H, 3, D) order (same
     convention as fused_attention_qkv). Returns the pre-projection head
     concat (B, N, H*D); with ``need_qkv`` returns a tuple
-    (out, qkv (B, N, H*3*D), xn = LN(x)) for raw-score tap layers."""
+    (out, qkv (B, N, H*3*D), xn = LN(x)) for raw-score tap layers.
+
+    PRECONDITION (TPU pallas path): qkv comes from LN(x) here by
+    construction, which is what licenses the fast exp2 softmax (scaled
+    logits within +-126; see _fast_exp2_probs and fused_attention_qkv's
+    docstring). If the LN gain is adversarially large — e.g. an untrusted
+    converted checkpoint — set MTT_ATTN_SAFE_SOFTMAX=1."""
     if scale is None:
         scale = (w.shape[1] // heads // 3) ** -0.5
     if impl is None:

@@ -32,7 +32,9 @@ class ConvHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = x.shape[-1]
-        x = ConvBNAct(C, (3, 3), act=nn.gelu, use_bias=True, dtype=self.dtype,
+        # exact-erf gelu: torch nn.GELU default (flax defaults to tanh-approx)
+        gelu_exact = lambda v: nn.gelu(v, approximate=False)  # noqa: E731
+        x = ConvBNAct(C, (3, 3), act=gelu_exact, use_bias=True, dtype=self.dtype,
                       name="mt_proj")(x, train=train)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        name="linear_pred")(x)
@@ -50,11 +52,11 @@ class DEConvHead(nn.Module):
                              name="deconv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Conv(C // 2, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        name="linear_pred")(x)
 

@@ -64,8 +64,14 @@ class TaskStackConvBN(nn.Module):
         B, T, H, W, C = x.shape
         xm = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
         groups = T * C if self.depthwise else T
+        # torch-style symmetric padding d*(k-1)/2: identical to SAME at
+        # stride 1, but for the stride-2 q conv (invpt.py:124-137, pad=1)
+        # XLA SAME would pad (0, 1) on even inputs and shift every window
+        # by one pixel vs the reference
+        pad = [(d * (k - 1) // 2,) * 2
+               for k, d in zip(self.kernel_size, self.dilation)]
         xm = nn.Conv(self.features * T, self.kernel_size, strides=self.strides,
-                     kernel_dilation=self.dilation, padding="SAME",
+                     kernel_dilation=self.dilation, padding=pad,
                      feature_group_count=groups, use_bias=False,
                      dtype=self.dtype, name="conv")(xm)
         xm = nn.BatchNorm(use_running_average=not train, momentum=0.9,

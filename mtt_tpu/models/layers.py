@@ -143,6 +143,11 @@ class PatchEmbed(nn.Module):
     def __call__(self, x) -> Tuple[jax.Array, Tuple[int, int]]:
         p = self.patch_size
         B, H, W, Cin = x.shape
+        if H % p or W % p:
+            raise ValueError(
+                f"PatchEmbed: input {H}x{W} must be divisible by "
+                f"patch_size={p} (the reference's strided conv silently "
+                f"truncated the remainder; pad or resize the input)")
         gh, gw = H // p, W // p
         # Param tree matches nn.Conv ('proj': kernel (p,p,Cin,C) HWIO + bias)
         # so checkpoint converters are unaffected, but the compute runs as
@@ -333,9 +338,11 @@ def interpolate(x, size: Tuple[int, int], method: str = "bilinear"):
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
         return x
-    if method in ("bilinear", "linear") and size[0] >= H and size[1] >= W:
-        # upsampling: 2-tap kernel == matmul form (downsampling would need
-        # jax.image.resize's anti-aliased wider kernel)
+    if method in ("bilinear", "linear"):
+        # 2-tap half-pixel kernel at ANY ratio == torch F.interpolate
+        # bilinear align_corners=False, which does NOT antialias when
+        # downsampling (jax.image.resize 'linear' does, diverging from the
+        # reference's decoder-input downsample, transformer_decoder.py:86)
         return _upsample_matmul(x, size)
     jax_method = {"bilinear": "linear", "linear": "linear",
                   "nearest": "nearest", "bicubic": "cubic", "cubic": "cubic"}[method]

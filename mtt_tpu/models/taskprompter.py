@@ -176,6 +176,16 @@ class TaskFeatureDecode(nn.Module):
         B, gh, gw, C = x_map.shape
         T = len(self.tasks)
         pl = self.prompt_len
+        if pl != 1:
+            # the channel decode below takes prompt row t*pl per task while
+            # the reference cal_task_feature indexes flat row t (equal only
+            # for prompt_len == 1, the value in every published config) —
+            # refuse rather than silently diverge (cf. the reference's own
+            # use_ctr assert, taskprompter.py:477)
+            raise NotImplementedError(
+                "TaskFeatureDecode requires prompt_len == 1; the channel-"
+                "pathway prompt-row convention diverges from the reference "
+                f"for prompt_len={pl}")
         P = T * pl
         G = self.num_heads * pl          # spatial attention groups
         gc = C // G                      # channels per group
@@ -258,7 +268,7 @@ class TaskFeatureDecode(nn.Module):
         cat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype,
                            name=f"fuse_bn_{il}")(cat)
-        cat = nn.gelu(cat)
+        cat = nn.gelu(cat, approximate=False)
         cat = nn.Conv(T * self.final_dim, (1, 1), feature_group_count=T,
                       dtype=self.dtype, name=f"fuse2_{il}")(cat)
         stack = cat.reshape(B, gh, gw, T, self.final_dim)
@@ -274,7 +284,7 @@ class TaskFeatureDecode(nn.Module):
                 wgt = pp[:, :, ti, :].astype(self.dtype)   # (B,H,T)
                 wgt = wgt.transpose(0, 2, 1)               # (B,T,H) as (B,spatial,chan)
                 wgt = nn.Dense(G, dtype=self.dtype, name=f"ctr_{il}_{t}_0")(wgt)
-                wgt = nn.gelu(wgt)
+                wgt = nn.gelu(wgt, approximate=False)
                 wgt = nn.Dense(1, dtype=self.dtype, name=f"ctr_{il}_{t}_1")(wgt)
                 wgt = wgt[:, :, 0]                         # (B,T)
                 new_fea[t] = sum(

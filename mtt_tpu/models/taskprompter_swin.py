@@ -278,7 +278,7 @@ class SwinTaskDecode(nn.Module):
             cat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype,
                                name=f"fea_fuse_{il}_{t}_bn")(cat)
-            cat = nn.gelu(cat)
+            cat = nn.gelu(cat, approximate=False)
             out[t] = nn.Conv(self.final_dim, (3, 3), padding="SAME",
                              dtype=self.dtype, name=f"fea_fuse_{il}_{t}_2")(cat)
         return out

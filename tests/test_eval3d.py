@@ -127,3 +127,26 @@ def test_official_xywh_json_convention():
     np.testing.assert_allclose(ax + aw, 500 + 1000 / 18, rtol=1e-6)
     np.testing.assert_allclose(ay, 300 - 750 / 18, rtol=1e-6)
     np.testing.assert_allclose(ay + ah, 300 + 750 / 18, rtol=1e-6)
+
+
+def test_amodal_near_plane_clipping():
+    """A box partially behind the camera must project via near-plane edge
+    clipping, not corner depth-clamping (ADVICE r1: the clamp produced
+    ~x/0.01-scale envelopes that distort 2D matching); a box fully behind
+    the plane yields a zero box."""
+    from mtt_tpu.detection.export import _amodal_box_2d, _NEAR_PLANE
+
+    cam = {"fx": 1000.0, "fy": 1000.0, "u0": 500.0, "v0": 300.0}
+    # box straddling the image plane: center 1m ahead, L=4 -> x_S in [-1,3]
+    q_id = np.array([1.0, 0.0, 0.0, 0.0])
+    x0, y0, w, h = _amodal_box_2d([1.0, 0.0, 0.0], [4.0, 2.0, 1.5],
+                                  q_id, cam)
+    # visible portion: x_S in [NEAR, 3], y_S +-1, z_S +-0.75; widest at
+    # the near plane: u = 500 +- 1000/NEAR
+    np.testing.assert_allclose(x0, 500 - 1000.0 / _NEAR_PLANE, rtol=1e-6)
+    np.testing.assert_allclose(x0 + w, 500 + 1000.0 / _NEAR_PLANE,
+                               rtol=1e-6)
+    np.testing.assert_allclose(y0, 300 - 750.0 / _NEAR_PLANE, rtol=1e-6)
+    # fully behind: zero box, no inf/nan
+    out = _amodal_box_2d([-10.0, 0.0, 0.0], [4.0, 2.0, 1.5], q_id, cam)
+    assert out == [0.0, 0.0, 0.0, 0.0]

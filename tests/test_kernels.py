@@ -268,3 +268,48 @@ def test_fused_task_decode_matches_xla():
     for a1, a2 in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_fast_softmax_floor_no_nan(monkeypatch):
+    """ADVICE r1 (medium): a row whose scaled logits all sit below -126
+    used to flush every exp2 to zero -> 0/0 NaN. The two-sided clamp keeps
+    probabilities >= 2^-126, so the output must stay finite (it degrades
+    toward uniform, by design)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.attention import fused_attention_qkv
+
+    monkeypatch.delenv("MTT_ATTN_SAFE_SOFTMAX", raising=False)
+    rng = np.random.default_rng(7)
+    B, N, H, D = 1, 16, 2, 64
+    qkv = np.zeros((B, N, H * 3 * D), np.float32)
+    for h in range(H):
+        base = h * 3 * D
+        # q strongly anti-aligned with every k -> all logits ~ -40*D*scale
+        qkv[:, :, base:base + D] = 40.0
+        qkv[:, :, base + D:base + 2 * D] = \
+            -1.0 + 0.01 * rng.normal(size=(B, N, D))
+        qkv[:, :, base + 2 * D:base + 3 * D] = rng.normal(size=(B, N, D))
+    out = fused_attention_qkv(jnp.asarray(qkv), H, D ** -0.5,
+                              impl="interpret")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_safe_softmax_env_exact_past_clamp(monkeypatch):
+    """MTT_ATTN_SAFE_SOFTMAX=1 must reproduce the exact (max-subtracted)
+    softmax even when scaled logits exceed the +126 exp2 clamp, where the
+    fast path degrades (ADVICE r1: make clamp engagement non-silent)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mtt_tpu.kernels.attention import fused_attention_qkv
+
+    rng = np.random.default_rng(8)
+    B, N, H, D = 1, 32, 2, 64
+    # scale the whole tensor so logits ~ q.k * 15^2 / 8 routinely pass 126
+    qkv = jnp.asarray(15.0 * rng.normal(size=(B, N, H * 3 * D)),
+                      jnp.float32)
+    ref = np.asarray(fused_attention_qkv(qkv, H, D ** -0.5, impl="xla"))
+    monkeypatch.setenv("MTT_ATTN_SAFE_SOFTMAX", "1")
+    out = np.asarray(fused_attention_qkv(qkv, H, D ** -0.5,
+                                         impl="interpret"))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
