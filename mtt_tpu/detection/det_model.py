@@ -163,12 +163,24 @@ def detection_loss(head_out, batch, det_cfg, strides):
     pos = (labels_f >= 0) & (labels_f < det_cfg["num_classes"])
     num_pos = pos.sum()
     posf = pos.astype(jnp.float32)
-    avg = jnp.maximum(posf.sum(), 0.0) + Bq
+    # reference avg_factor = num_pos + num_imgs where label-less images are
+    # REMOVED from the batch before the loss (det_model.py:284-299,380):
+    # count only images that carry at least one valid GT box
+    n_labeled = jnp.sum(jnp.any(batch["det_valid"] > 0, axis=1)
+                        .astype(jnp.float32))
+    avg = jnp.maximum(posf.sum() + n_labeled, 1.0)
 
     out = {}
+    # a label-less image's rows are excluded from the cls loss entirely
+    # (the reference removes those images from the batch, not just their
+    # positives, det_model.py:284-299)
+    cls_w = jnp.broadcast_to(
+        jnp.any(batch["det_valid"] > 0, axis=1)[:, None], labels.shape
+    ).astype(jnp.float32).reshape(-1)
     out["loss_cls"] = L.sigmoid_focal_loss(
         cls_f, labels_f, det_cfg["num_classes"],
         gamma=det_cfg["loss_cls"]["gamma"], alpha=det_cfg["loss_cls"]["alpha"],
+        weight=cls_w,
         avg_factor=avg, loss_weight=det_cfg["loss_cls"]["loss_weight"])
 
     cw = jnp.asarray(det_cfg["code_weight"], jnp.float32)

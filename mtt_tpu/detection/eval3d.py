@@ -30,21 +30,25 @@ from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-from scipy.spatial.transform import Rotation
-
 from mtt_tpu.detection.cs_geometry import EVAL_LABELS
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N,4) x (M,4) xyxy IoU. Uses the native C++ library when built
-    (mtt_tpu/detection/iou3d_native.py)."""
+    """(N,4) x (M,4) xyxy IoU with the official +1-pixel area convention
+    (cityscapesscripts objectDetectionHelpers.calcIouMatrix: widths are
+    x2-x1+1). Implemented by shifting the max corners +1 and running the
+    plain IoU — exactly equivalent, and lets the native C++ path
+    (mtt_tpu/detection/iou3d_native.py) stay convention-free."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
+    a = np.asarray(a, np.float64).copy()
+    b = np.asarray(b, np.float64).copy()
+    a[:, 2:] += 1.0
+    b[:, 2:] += 1.0
     try:
         from mtt_tpu.detection import iou3d_native as nat
         if nat.available():
-            return nat.iou_matrix_2d(np.asarray(a, np.float64),
-                                     np.asarray(b, np.float64))
+            return nat.iou_matrix_2d(a, b)
     except Exception:
         pass
     ix1 = np.maximum(a[:, None, 0], b[None, :, 0])
@@ -71,9 +75,17 @@ def _greedy_matches(iou: np.ndarray, min_iou: float):
 
 
 def _ypr(quat_wxyz) -> np.ndarray:
-    """(w,x,y,z) -> (yaw, pitch, roll), pyquaternion convention (ZYX)."""
-    w, x, y, z = quat_wxyz
-    return Rotation.from_quat([x, y, z, w]).as_euler("ZYX")
+    """(w,x,y,z) -> (yaw, pitch, roll) with pyquaternion 0.9.x's exact
+    sign convention (the official evaluator calls
+    Quaternion(rotation).yaw_pitch_roll, evalObjectDetection3d.py:658;
+    note pyquaternion's yaw/roll signs differ from scipy's 'ZYX')."""
+    q = np.asarray(quat_wxyz, np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    yaw = np.arctan2(2 * (w * z - x * y), 1 - 2 * (y * y + z * z))
+    pitch = np.arcsin(np.clip(2 * (w * y + x * z), -1.0, 1.0))
+    roll = np.arctan2(2 * (w * x - y * z), 1 - 2 * (x * x + y * y))
+    return np.asarray([yaw, pitch, roll])
 
 
 class Box3dEvaluator:
@@ -137,11 +149,13 @@ class Box3dEvaluator:
                 base = nm.replace("_gtBbox3d.json", "").replace(".json", "")
                 with open(os.path.join(root, nm)) as f:
                     gt = json.load(f)
-                pred_path = os.path.join(pred_folder, base + ".json")
                 preds = []
-                if os.path.isfile(pred_path):
-                    with open(pred_path) as f:
-                        preds = json.load(f).get("objects", [])
+                for cand in (base + ".json", base + "_predBbox3d.json"):
+                    pred_path = os.path.join(pred_folder, cand)
+                    if os.path.isfile(pred_path):
+                        with open(pred_path) as f:
+                            preds = json.load(f).get("objects", [])
+                        break
                 self.add_image(base, gt.get("objects", []), preds,
                                gt.get("ignore", []))
 
@@ -169,9 +183,14 @@ class Box3dEvaluator:
                 # means one ignore box can absorb many preds)
                 ign = self.ignores.get(name, [])
                 if fp_pr and len(ign):
-                    ib = np.asarray(ign)
+                    # intersection / pred area with the official +1-pixel
+                    # convention (calcOverlapMatrix)
+                    ib = np.asarray(ign, np.float64).copy()
                     pb = np.asarray([self.preds[name][i]["modal"]
-                                     for i in fp_pr])
+                                     for i in fp_pr], np.float64)
+                    ib[:, 2:] += 1.0
+                    pb = pb.copy()
+                    pb[:, 2:] += 1.0
                     ix1 = np.maximum(ib[:, None, 0], pb[None, :, 0])
                     iy1 = np.maximum(ib[:, None, 1], pb[None, :, 1])
                     ix2 = np.minimum(ib[:, None, 2], pb[None, :, 2])

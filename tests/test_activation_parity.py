@@ -427,3 +427,287 @@ class TestInvPTParity:
             np.testing.assert_allclose(
                 np.asarray(got["inter_preds"][t]), wi, atol=5e-4, rtol=5e-3,
                 err_msg=f"inter_pred {t} diverges from reference math")
+
+
+# ---------------------------------------------------------------------------
+# FCOS3D target assignment + loss torch oracle
+# (reference det_model.py:754-954 get_targets, :253-481 loss)
+# ---------------------------------------------------------------------------
+
+INF = 1e8
+
+DET_CFG = dict(
+    num_classes=6,
+    strides=(8, 16, 32),
+    regress_ranges=((-1, 96), (96, 192), (192, INF)),
+    center_sample_radius=1.5,
+    centerness_alpha=2.5,
+    norm_on_bbox=True,
+    pred_bbox2d=True,
+    use_direction_classifier=True,
+    dir_offset=0.0,
+    group_reg_dims=(2, 1, 3, 3, 4),
+    code_weight=[1.0, 1.0, 0.2, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0,
+                 1.0, 1.0, 1.0, 1.0],
+    loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=5.0),
+    loss_bbox=dict(beta=1.0 / 9.0),
+)
+FEAT_SIZES = ((16, 16), (8, 8), (4, 4))
+
+
+def _ref_points():
+    """get_points/_get_points_single (det_model.py:717-753)."""
+    pts, strides_pt = [], []
+    for (h, w), s in zip(FEAT_SIZES, DET_CFG["strides"]):
+        ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                torch.arange(w, dtype=torch.float32),
+                                indexing="ij")
+        p = torch.stack((xs.reshape(-1) * s, ys.reshape(-1) * s), -1) + s // 2
+        pts.append(p)
+        strides_pt.append(torch.full((h * w,), float(s)))
+    return pts, torch.cat(strides_pt)
+
+
+def _ref_target_single(gt, points, regress_ranges, strides_pt):
+    """_get_target_single (det_model.py:858-954), torch re-derivation."""
+    n_pts = points.shape[0]
+    n_gts = gt["labels"].shape[0]
+    xs, ys = points[:, 0:1], points[:, 1:2]
+    cx = gt["centers2d"][None, :, 0]
+    cy = gt["centers2d"][None, :, 1]
+    dx, dy = xs - cx, ys - cy
+    b = gt["bboxes2d"]
+    left = xs - b[None, :, 0]
+    top = ys - b[None, :, 1]
+    right = b[None, :, 2] - xs
+    bottom = b[None, :, 3] - ys
+    bbox_t = torch.stack((left, top, right, bottom), -1)
+    stride = strides_pt * DET_CFG["center_sample_radius"]
+    cb = torch.stack((dx + stride[:, None], dy + stride[:, None],
+                      stride[:, None] - dx, stride[:, None] - dy), -1)
+    inside = cb.min(-1)[0] > 0
+    max_reg = bbox_t.max(-1)[0]
+    in_range = ((max_reg >= regress_ranges[:, 0:1])
+                & (max_reg <= regress_ranges[:, 1:2]))
+    dists = torch.sqrt(dx ** 2 + dy ** 2)
+    dists = torch.where(inside & in_range, dists,
+                        torch.full_like(dists, INF))
+    min_dist, idx = dists.min(dim=1)
+    labels = gt["labels"][idx].clone()
+    labels[min_dist == INF] = DET_CFG["num_classes"]
+    r = torch.arange(n_pts)
+    sel_dx, sel_dy = dx[r, idx], dy[r, idx]
+    tgt3d = torch.cat([sel_dx[:, None], sel_dy[:, None],
+                       gt["depths"][idx][:, None],
+                       gt["boxes3d"][idx][:, 3:]], dim=1)
+    tgt3d = torch.cat([tgt3d, bbox_t[r, idx]], dim=1)    # pred_bbox2d
+    rel = torch.sqrt(sel_dx ** 2 + sel_dy ** 2) / (1.414 * strides_pt)
+    ctr = torch.exp(-DET_CFG["centerness_alpha"] * rel)
+    return labels, tgt3d, ctr
+
+
+def oracle_fcos3d_loss(preds_nhwc, gt_list):
+    """Reference loss (det_model.py:330-481) on per-image UNPADDED GT;
+    label-less images are removed from every term as the reference does
+    (det_model.py:284-299)."""
+    pts, strides_pt = _ref_points()
+    num_points = [p.shape[0] for p in pts]
+    cat_pts = torch.cat(pts)
+    rr = torch.cat([torch.tensor(DET_CFG["regress_ranges"][i])
+                    [None].expand(num_points[i], 2)
+                    for i in range(3)]).float()
+    labeled = [g for g in gt_list if g["labels"].numel() > 0]
+    per_img = [_ref_target_single(g, cat_pts, rr, strides_pt)
+               for g in labeled]
+    n_img = len(labeled)
+    # split per level, re-concat over images (det_model.py:813-855)
+    lvl_labels, lvl_tgt, lvl_ctr = [], [], []
+    ofs = np.cumsum([0] + num_points)
+    for i in range(3):
+        sl = slice(ofs[i], ofs[i + 1])
+        lab = torch.cat([p[0][sl] for p in per_img])
+        tgt = torch.cat([p[1][sl] for p in per_img]).clone()
+        ctr = torch.cat([p[2][sl] for p in per_img])
+        tgt[:, :2] /= DET_CFG["strides"][i]              # norm_on_bbox
+        tgt[:, -4:] /= DET_CFG["strides"][i]
+        lvl_labels.append(lab)
+        lvl_tgt.append(tgt)
+        lvl_ctr.append(ctr)
+    # flatten preds level-major, dropping label-less images
+    keep = [i for i, g in enumerate(gt_list) if g["labels"].numel() > 0]
+    cls_s, bbox_s, dir_s, ctr_s = [], [], [], []
+    for lv in range(3):
+        cls, bbox, dirp, ctn = [torch.from_numpy(a[lv])[keep]
+                                for a in preds_nhwc]
+        cls_s.append(cls.reshape(-1, DET_CFG["num_classes"]))
+        bbox_s.append(bbox.reshape(-1, 13))
+        dir_s.append(dirp.reshape(-1, 6))
+        ctr_s.append(ctn.reshape(-1))
+    cls_f = torch.cat(cls_s)
+    bbox_f = torch.cat(bbox_s)
+    dir_f = torch.cat(dir_s)
+    ctr_f = torch.cat(ctr_s)
+    labels_f = torch.cat(lvl_labels)
+    tgt_f = torch.cat(lvl_tgt)
+    ctr_tgt_f = torch.cat(lvl_ctr)
+
+    nc = DET_CFG["num_classes"]
+    pos = ((labels_f >= 0) & (labels_f < nc)).nonzero().reshape(-1)
+    num_pos = len(pos)
+    out = {}
+    # mmdet sigmoid focal loss (det_losses.py:178-231)
+    onehot = F.one_hot(labels_f.long(), nc + 1)[:, :nc].float()
+    p = torch.sigmoid(cls_f)
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    a = DET_CFG["loss_cls"]["alpha"]
+    focal = (a * onehot + (1 - a) * (1 - onehot)) \
+        * (1 - pt) ** DET_CFG["loss_cls"]["gamma"]
+    ce = F.binary_cross_entropy_with_logits(cls_f, onehot, reduction="none")
+    out["loss_cls"] = DET_CFG["loss_cls"]["loss_weight"] \
+        * (focal * ce).sum() / (num_pos + n_img)
+
+    pb, tb = bbox_f[pos], tgt_f[pos]
+    pc, tc = ctr_f[pos], ctr_tgt_f[pos]
+    pd = dir_f[pos]
+    cw = torch.tensor(DET_CFG["code_weight"])
+    # sin-difference on rot channels (det_model.py:145-168)
+    sp = torch.sin(pb[:, 6:9]) * torch.cos(tb[:, 6:9])
+    st = torch.cos(pb[:, 6:9]) * torch.sin(tb[:, 6:9])
+    pb = torch.cat([pb[:, :6], sp, pb[:, 9:]], -1)
+    tb = torch.cat([tb[:, :6], st, tb[:, 9:]], -1)
+
+    beta = DET_CFG["loss_bbox"]["beta"]
+
+    def sl1(sl):
+        d = torch.abs(pb[:, sl] - tb[:, sl])
+        ls = torch.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+        return (ls * cw[sl]).sum() / num_pos
+
+    out["loss_offset"] = sl1(slice(0, 2))
+    out["loss_depth"] = sl1(slice(2, 3))
+    out["loss_size"] = sl1(slice(3, 6))
+    out["loss_rotsin"] = sl1(slice(6, 9))
+    out["loss_bbox2d"] = sl1(slice(9, 13))
+    # direction CE, 3 angles (det_model.py:171-204,436-444)
+    dl = 0.0
+    for rot in range(3):
+        gtr = tb_rot = tgt_f[pos][:, 6 + rot]
+        off = torch.remainder(tb_rot - DET_CFG["dir_offset"], 2 * np.pi)
+        bins = torch.clamp(torch.floor(off / np.pi).long(), 0, 1)
+        dl = dl + F.cross_entropy(pd[:, rot * 2:(rot + 1) * 2], bins,
+                                  reduction="sum") / num_pos
+    out["loss_dir"] = dl
+    out["loss_centerness"] = F.binary_cross_entropy_with_logits(
+        pc, tc, reduction="mean")
+    return out
+
+
+class TestFCOS3DTargetLossParity:
+    def test_loss_matches_reference_math(self):
+        import jax.numpy as jnp
+        from mtt_tpu.detection.det_model import detection_loss
+
+        rng = np.random.default_rng(3)
+        B, M = 2, 6
+        n_valid = [4, 2]
+        img = 128.0
+
+        # padded GT arrays (ours) + unpadded torch lists (oracle)
+        cx = rng.uniform(8, img - 8, (B, M)).astype(np.float32)
+        cy = rng.uniform(8, img - 8, (B, M)).astype(np.float32)
+        w2 = rng.uniform(8, 60, (B, M)).astype(np.float32)
+        h2 = rng.uniform(8, 60, (B, M)).astype(np.float32)
+        bboxes2d = np.stack([cx - w2 / 2, cy - h2 / 2,
+                             cx + w2 / 2, cy + h2 / 2], -1)
+        centers2d = np.stack([cx + rng.normal(0, 2, (B, M)),
+                              cy + rng.normal(0, 2, (B, M))],
+                             -1).astype(np.float32)
+        depths = rng.uniform(3, 50, (B, M)).astype(np.float32)
+        boxes3d = np.concatenate([
+            rng.normal(0, 10, (B, M, 3)),
+            rng.uniform(0.5, 4, (B, M, 3)),
+            rng.uniform(-np.pi, np.pi, (B, M, 3))], -1).astype(np.float32)
+        labels = rng.integers(0, 6, (B, M)).astype(np.int32)
+        valid = np.zeros((B, M), np.float32)
+        for i, n in enumerate(n_valid):
+            valid[i, :n] = 1.0
+
+        preds = []
+        for maker, c in ((0, 6), (1, 13), (2, 6), (3, 1)):
+            preds.append([rng.normal(0, 1, (B, h, w, c)).astype(np.float32)
+                          for (h, w) in FEAT_SIZES])
+        head_out = tuple(tuple(jnp.asarray(x) for x in lst)
+                         for lst in preds)
+        batch = {"det_bboxes2d": jnp.asarray(bboxes2d),
+                 "det_labels": jnp.asarray(labels),
+                 "det_boxes3d": jnp.asarray(boxes3d),
+                 "det_centers2d": jnp.asarray(centers2d),
+                 "det_depths": jnp.asarray(depths),
+                 "det_valid": jnp.asarray(valid)}
+        total, comps = detection_loss(head_out, batch, DET_CFG,
+                                      DET_CFG["strides"])
+
+        gt_list = []
+        for i in range(B):
+            n = n_valid[i]
+            gt_list.append({
+                "bboxes2d": torch.from_numpy(bboxes2d[i, :n]),
+                "labels": torch.from_numpy(labels[i, :n]).long(),
+                "boxes3d": torch.from_numpy(boxes3d[i, :n]),
+                "centers2d": torch.from_numpy(centers2d[i, :n]),
+                "depths": torch.from_numpy(depths[i, :n])})
+        want = oracle_fcos3d_loss(preds, gt_list)
+        for k, v in want.items():
+            np.testing.assert_allclose(
+                float(comps[k]), float(v), rtol=2e-4, atol=1e-5,
+                err_msg=f"{k} diverges from reference math")
+        np.testing.assert_allclose(
+            float(total), float(sum(v for v in want.values())),
+            rtol=2e-4)
+
+    def test_labelless_image_excluded(self):
+        """An image with zero valid boxes must contribute nothing to any
+        loss term (the reference removes it from the batch,
+        det_model.py:284-299)."""
+        import jax.numpy as jnp
+        from mtt_tpu.detection.det_model import detection_loss
+
+        rng = np.random.default_rng(5)
+        B, M = 2, 4
+        preds = []
+        for c in (6, 13, 6, 1):
+            preds.append([rng.normal(0, 1, (B, h, w, c)).astype(np.float32)
+                          for (h, w) in FEAT_SIZES])
+        head_out = tuple(tuple(jnp.asarray(x) for x in lst)
+                         for lst in preds)
+
+        def batch_for(valid):
+            return {"det_bboxes2d": jnp.asarray(
+                        rng.uniform(10, 100, (B, M, 4)).astype(np.float32)),
+                    "det_labels": jnp.zeros((B, M), jnp.int32),
+                    "det_boxes3d": jnp.asarray(
+                        rng.normal(0, 5, (B, M, 9)).astype(np.float32)),
+                    "det_centers2d": jnp.full((B, M, 2), 1e6, jnp.float32),
+                    "det_depths": jnp.ones((B, M), jnp.float32),
+                    "det_valid": jnp.asarray(valid)}
+
+        # no centers near any point -> zero positives everywhere; the only
+        # nonzero term is cls; with image 1 label-less its rows must drop
+        v = np.zeros((B, M), np.float32)
+        v[0, :2] = 1.0
+        _, comps = detection_loss(head_out, batch_for(v), DET_CFG,
+                                  DET_CFG["strides"])
+        # recompute oracle-style: only image 0's cls rows, avg = 0 pos + 1
+        want = 0.0
+        nc = DET_CFG["num_classes"]
+        for lv in range(3):
+            cls = torch.from_numpy(preds[0][lv][0:1]).reshape(-1, nc)
+            p = torch.sigmoid(cls)
+            a = DET_CFG["loss_cls"]["alpha"]
+            focal = (1 - a) * p ** DET_CFG["loss_cls"]["gamma"]
+            ce = F.binary_cross_entropy_with_logits(
+                cls, torch.zeros_like(cls), reduction="none")
+            want = want + (focal * ce).sum()
+        want = DET_CFG["loss_cls"]["loss_weight"] * want / 1.0
+        np.testing.assert_allclose(float(comps["loss_cls"]), float(want),
+                                   rtol=2e-4)
