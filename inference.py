@@ -49,6 +49,54 @@ def visualize(task: str, pred: np.ndarray) -> np.ndarray:
     raise ValueError(task)
 
 
+# Stuttgart camera calibration used by the reference's single-image 3D-det
+# demo when no camera.json accompanies the input image
+# (TaskPrompter/inference.py:15-52 — public calibration constants).
+STUTTGART_CAMERA = {
+    "fx": 2262.52, "fy": 2265.3017905988554,
+    "u0": 1096.98, "v0": 513.137,
+    "sensor_T_ISO_8855": [
+        [0.9990881051503779, -0.01948468779721943,
+         -0.03799085532693703, -1.6501524664770573],
+        [0.019498764210995674, 0.9998098810245096, 0.0,
+         -0.1331288872611436],
+        [0.03798363254444427, -0.0007407747301939942,
+         0.9992780868764849, -1.2836173638418473]],
+}
+
+
+def infer_3ddet(p, state, out, ori_img, scale_xy, output_dir):
+    """Decode 3D detections from the head output and render wireframes on
+    the original image (reference demo path, TaskPrompter/inference.py:
+    118-164 + vis_pred_for_one_task -> bbox2fig)."""
+    import cv2
+    import jax
+    import numpy as np
+
+    from mtt_tpu.detection.det_model import decode_bboxes_single
+    from mtt_tpu.utils.visualization import draw_boxes3d
+
+    cam = STUTTGART_CAMERA
+    K = np.array([[cam["fx"], 0, cam["u0"]],
+                  [0, cam["fy"], cam["v0"]],
+                  [0, 0, 1]], np.float32)
+    det_cfg = p.det_cfg
+    strides = tuple(det_cfg["strides"])
+    cls, bbox, dirp, ctr = out["3ddet"]
+    head_0 = ([c[0] for c in cls], [b[0] for b in bbox],
+              [d[0] for d in dirp], [c[0] for c in ctr])
+    # the demo resizes the input; centers decode back to original pixels
+    dec = jax.device_get(jax.jit(
+        lambda h: decode_bboxes_single(h, K, det_cfg, strides,
+                                       scale_factor=scale_xy))(head_0))
+    keep = dec["valid"] & (dec["scores"] > 0.3)
+    vis = draw_boxes3d(ori_img, dec["boxes3d"], K, valid=keep)
+    path = os.path.join(output_dir, "3ddet.png")
+    cv2.imwrite(path, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+    n = int(np.sum(keep))
+    print(f"[inference] wrote {path} ({n} boxes above score 0.3)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_exp", required=True)
@@ -71,9 +119,9 @@ def main():
     p = create_config(args.config_exp, {"run_mode": "infer"})
     model = build_model(p)
 
-    img = cv2.cvtColor(cv2.imread(args.image_path), cv2.COLOR_BGR2RGB)
+    ori_img = cv2.cvtColor(cv2.imread(args.image_path), cv2.COLOR_BGR2RGB)
     size = tuple(p.TEST.SCALE)
-    img = cv2.resize(img, size[::-1], interpolation=cv2.INTER_CUBIC)
+    img = cv2.resize(ori_img, size[::-1], interpolation=cv2.INTER_CUBIC)
     inp = img.astype(np.float32) / 255.0
     inp = (inp - np.array([0.485, 0.456, 0.406], np.float32)) / \
         np.array([0.229, 0.224, 0.225], np.float32)
@@ -99,6 +147,10 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     for t in p.TASKS.NAMES:
         if t == "3ddet":
+            scale_xy = np.array([img.shape[1] / ori_img.shape[1],
+                                 img.shape[0] / ori_img.shape[0]],
+                                np.float32)
+            infer_3ddet(p, state, out, ori_img, scale_xy, args.output_dir)
             continue
         pred = np.asarray(jax.device_get(get_output(out[t], t)))[0]
         vis = visualize(t, pred)

@@ -86,7 +86,7 @@ def main():
     train_ds = cc.get_dataset(p, "train", train_tf, overfit=args.overfit)
     val_ds = cc.get_dataset(p, "val", val_tf, overfit=args.overfit)
     train_loader = cc.get_train_dataloader(p, train_ds, nshards, shard)
-    val_loader = cc.get_test_dataloader(p, val_ds)
+    val_loader = cc.get_test_dataloader(p, val_ds, nshards, shard)
 
     trainer = Trainer(p, model)
     t0 = time.time()
@@ -110,13 +110,9 @@ def main():
                                rng=jax.random.PRNGKey(args.seed))
         print(f"[main] training done in {time.time() - t0:.1f}s")
     else:
+        # test_phase runs the official 3D-det evaluation itself when the
+        # task is configured (reference test_utils.py:47-52)
         scores = test_phase(p, trainer, state, val_loader)
-        if "3ddet" in p.TASKS.NAMES:
-            from mtt_tpu.detection.det_eval import evaluate_detection
-            det = evaluate_detection(p, trainer, state, val_loader,
-                                     save_dir=p["save_dir"])
-            scores["3ddet"] = {"mDetection_Score": det["mDetection_Score"],
-                               "mAP": det["mAP"]}
         if args.vis:
             from mtt_tpu.data.loader import device_put_batch
             from mtt_tpu.utils.postprocess import get_output

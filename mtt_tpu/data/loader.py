@@ -53,20 +53,31 @@ class ShardedSampler:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
             rng.shuffle(idx)
-        shard = idx[self.shard_index::self.num_shards][:self.per_shard]
-        for i in range(0, len(shard), self.batch_size):
-            batch = shard[i:i + self.batch_size]
-            # drop_last=False must yield the trailing partial batch —
-            # eval otherwise silently skips up to batch_size-1 val images;
-            # device_put_batch's mesh-divisibility ignore-padding handles
-            # the ragged size downstream.
-            if len(batch) == self.batch_size or not self.drop_last:
-                yield batch.tolist()
+        if self.drop_last:
+            shard = idx[self.shard_index::self.num_shards][:self.per_shard]
+            for i in range(0, len(shard), self.batch_size):
+                batch = shard[i:i + self.batch_size]
+                if len(batch) == self.batch_size:
+                    yield batch.tolist()
+            return
+        # eval (drop_last=False): every index appears in EXACTLY one shard
+        # (no truncation), and all shards yield the SAME number of batches —
+        # multi-host SPMD eval steps are collective programs, so every
+        # process must step in lockstep; short shards / the trailing partial
+        # batch are padded with -1 (the loader turns -1 into an all-ignore
+        # sample that no metric meter counts)
+        shard = idx[self.shard_index::self.num_shards]
+        max_len = -(-self.n // self.num_shards)
+        nb = -(-max_len // self.batch_size)
+        padded = np.full(nb * self.batch_size, -1, np.int64)
+        padded[:len(shard)] = shard
+        for i in range(0, len(padded), self.batch_size):
+            yield padded[i:i + self.batch_size].tolist()
 
     def __len__(self):
         if self.drop_last:
             return self.per_shard // self.batch_size
-        return -(-self.per_shard // self.batch_size)
+        return -(-(-(-self.n // self.num_shards)) // self.batch_size)
 
 
 def collate(samples: List[Dict]) -> Dict:
@@ -102,12 +113,31 @@ class MultiTaskLoader:
         return len(self.sampler)
 
     def _load_one(self, idx: int, epoch: int) -> Dict:
+        if idx < 0:
+            return self._ignore_sample()
         rng = np.random.default_rng(
             (self.seed * 7919 + epoch) * 1000003 + idx)
         try:
             return self.dataset.__getitem__(idx, rng=rng)
         except TypeError:
             return self.dataset[idx]
+
+    def _ignore_sample(self) -> Dict:
+        """A batch-padding sample no meter/loss/saver counts: labels filled
+        with the ignore index, det boxes invalid, meta flagged 'pad'."""
+        if getattr(self, "_pad_sample", None) is None:
+            s = dict(self._load_one(0, 0))
+            for k, v in s.items():
+                if k == "meta":
+                    s[k] = dict(v, pad=True) if isinstance(v, dict) else v
+                elif not isinstance(v, np.ndarray) or k == "image":
+                    continue
+                elif k == "det_valid" or k.startswith("det_"):
+                    s[k] = np.zeros_like(v)
+                else:
+                    s[k] = np.full_like(v, 255.0)
+            self._pad_sample = s
+        return self._pad_sample
 
     def __iter__(self):
         epoch = self.sampler.epoch

@@ -73,6 +73,8 @@ def evaluate_detection(p, trainer, state, val_loader,
         B = batch["image"].shape[0]
         for i in range(B):
             meta = batch["meta"][i]
+            if meta.get("pad"):       # loader batch-padding sample
+                continue
             K = np.asarray(meta["K_matrix"], np.float32)
             head_i = ([c[i] for c in cls], [b[i] for b in bbox],
                       [d[i] for d in dirp], [c[i] for c in ctr])

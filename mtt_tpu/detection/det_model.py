@@ -287,12 +287,20 @@ def decode_bboxes_single(head_out_i, K, det_cfg, strides, scale_factor=1.0):
     iou_thr = float(det_cfg["test_cfg"]["nms_thr"])
     use_rot = bool(det_cfg["test_cfg"]["use_rotate_nms"])
 
+    # the (k,k) BEV IoU matrix is class-independent — compute it ONCE and
+    # reuse it for every class's greedy suppression (the reference's
+    # box3d_multiclass_nms recomputes per-class on the class-sliced boxes,
+    # det_tools.py:85-210; here all classes share the same top-k candidate
+    # set so one matrix serves all nc passes: 6x fewer rotated polygon clips)
+    from mtt_tpu.detection.iou3d import (_greedy_nms_from_iou,
+                                         boxes_iou_bev, boxes_iou_aligned)
+    iou_mat = boxes_iou_bev(bev, bev) if use_rot else boxes_iou_aligned(bev)
+
     all_scores, all_labels, all_keep = [], [], []
     for c in range(nc):
         sc = nms_scores[:, c]
         valid = sc > score_thr
-        keep = (nms_bev(bev, sc, iou_thr, valid) if use_rot
-                else nms_normal_bev(bev, sc, iou_thr, valid))
+        keep = _greedy_nms_from_iou(iou_mat, sc, iou_thr, valid)
         all_scores.append(jnp.where(keep, sc, -1.0))
         all_labels.append(jnp.full_like(sc, c, dtype=jnp.float32))
         all_keep.append(keep)

@@ -137,10 +137,8 @@ def nms_bev(boxes, scores, iou_thr: float, valid=None):
     return _greedy_nms_from_iou(iou, scores, iou_thr, valid)
 
 
-def nms_normal_bev(boxes, scores, iou_thr: float, valid=None):
-    """Axis-aligned NMS on the BEV footprints (CUDA nms_normal_kernel)."""
-    if valid is None:
-        valid = jnp.ones(scores.shape, bool)
+def boxes_iou_aligned(boxes):
+    """Axis-aligned pairwise IoU matrix on BEV footprints (N,5)."""
     x1 = boxes[:, 0] - boxes[:, 2] / 2
     y1 = boxes[:, 1] - boxes[:, 3] / 2
     x2 = boxes[:, 0] + boxes[:, 2] / 2
@@ -151,5 +149,12 @@ def nms_normal_bev(boxes, scores, iou_thr: float, valid=None):
     ix2 = jnp.minimum(x2[:, None], x2[None, :])
     iy2 = jnp.minimum(y2[:, None], y2[None, :])
     inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, _EPS)
-    return _greedy_nms_from_iou(iou, scores, iou_thr, valid)
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, _EPS)
+
+
+def nms_normal_bev(boxes, scores, iou_thr: float, valid=None):
+    """Axis-aligned NMS on the BEV footprints (CUDA nms_normal_kernel)."""
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    return _greedy_nms_from_iou(boxes_iou_aligned(boxes), scores, iou_thr,
+                                valid)

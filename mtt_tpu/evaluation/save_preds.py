@@ -37,6 +37,8 @@ def save_task_predictions(save_dir: str, task: str, preds: np.ndarray,
 
     def _save(i):
         meta = metas[i]
+        if meta.get("pad"):           # loader batch-padding sample
+            return
         p = crop_padding(np.asarray(preds[i]), meta["img_size"], padded)
         name = meta["img_name"]
         if task == "edge":

@@ -81,7 +81,12 @@ def get_train_dataloader(p, dataset, num_shards: int = 1, shard_index: int = 0):
                            drop_last=True)
 
 
-def get_test_dataloader(p, dataset):
+def get_test_dataloader(p, dataset, num_shards: int = 1, shard_index: int = 0):
+    """Eval loader. Under multihost, shard per process like the train loader
+    — every val image lands in exactly one process's shard and short shards
+    are ignore-padded so all processes step the collective eval program in
+    lockstep (the reference evals on rank 0 only, test_utils.py:30)."""
     return MultiTaskLoader(dataset, batch_size=int(p["valBatch"]),
                            shuffle=False, num_workers=int(p.get("nworkers", 2)),
+                           num_shards=num_shards, shard_index=shard_index,
                            drop_last=False)

@@ -256,7 +256,17 @@ def test_phase(p, trainer: Trainer, state, val_loader,
                                           np.asarray(jax.device_get(processed[t])),
                                           batch["meta"])
     trainer.meter.states = jax.device_get(states)
-    return trainer.meter.get_score(verbose=False)
+    scores = trainer.meter.get_score(verbose=False)
+    # the reference appends the official Cityscapes 3D-det evaluation to
+    # EVERY test_phase during training (TaskPrompter/utils/test_utils.py:47-52)
+    # so mDS is reported at each val interval, not only in infer mode
+    if "3ddet" in getattr(p.TASKS, "NAMES", ()):
+        from mtt_tpu.detection.det_eval import evaluate_detection
+        det = evaluate_detection(p, trainer, state, val_loader,
+                                 save_dir=p.get("save_dir"))
+        scores["3ddet"] = {"mDetection_Score": det["mDetection_Score"],
+                           "mAP": det["mAP"]}
+    return scores
 
 
 class StepProfiler:
