@@ -351,6 +351,7 @@ def fused_attention_qkv(qkv, heads: int, scale: float,
 # ---------------------------------------------------------------------------
 
 _Q_CHUNK = 512
+_Q_CHUNK_CACHED = 384   # smaller score chunk frees VMEM for the LN(x) cache
 
 
 def _ln_rows(xb, g, be, eps):
@@ -391,6 +392,40 @@ def _attn_ln_qkv_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
                 (o / s).astype(o_ref.dtype)
 
 
+def _attn_ln_qkv_cached_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
+                               xn_ref, *, scale: float, D: int, hpb: int,
+                               eps: float, q_chunk: int, safe: bool):
+    """Non-emit variant with the LN(x) rows cached in scratch: the head-pair
+    grid axis is sequential per batch item, so LN runs ONCE per item instead
+    of once per head-pair (8x redundant VPU passes at ViT-L heads=16)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xn_ref[...] = _ln_rows(x_ref[0], g_ref[0], be_ref[0], eps)
+
+    qkv = jax.lax.dot_general(
+        xn_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[0]).astype(x_ref.dtype)    # (N, hpb*3D)
+    N = qkv.shape[0]
+    s2 = jnp.asarray(scale * _LOG2E, qkv.dtype)
+    for h in range(hpb):
+        base = h * 3 * D
+        k = qkv[:, base + D:base + 2 * D]
+        v = qkv[:, base + 2 * D:base + 3 * D]
+        for q0 in range(0, N, q_chunk):
+            q = qkv[q0:q0 + q_chunk, base:base + D] * s2
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = _fast_exp2_probs(logits, safe, k.shape[0])
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, q0:q0 + q.shape[0], h * D:(h + 1) * D] = \
+                (o / s).astype(o_ref.dtype)
+
+
 def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
                         eps: float, hpb: int = 2, ln: bool = True,
                         emit: bool = False, interpret: bool = False):
@@ -407,11 +442,19 @@ def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
             jax.ShapeDtypeStruct((B, N, heads * 3 * D), x.dtype))
         out_specs.append(
             pl.BlockSpec((1, N, hpb * 3 * D), lambda bi, h: (bi, 0, h)))
+    if ln and not emit:
+        kern = functools.partial(
+            _attn_ln_qkv_cached_kernel, scale=scale, D=D, hpb=hpb, eps=eps,
+            q_chunk=_Q_CHUNK_CACHED, safe=_safe_softmax_env())
+        kwargs.setdefault("scratch_shapes", []).append(
+            pltpu.VMEM((N, C), x.dtype) if pltpu is not None else None)
+    else:
+        kern = functools.partial(
+            _attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb, eps=eps, ln=ln,
+            q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK,
+            safe=_safe_softmax_env())
     out = pl.pallas_call(
-        functools.partial(_attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb,
-                          eps=eps, ln=ln,
-                          q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK,
-                          safe=_safe_softmax_env()),
+        kern,
         out_shape=out_shape,
         grid=(B, heads // hpb),
         in_specs=[
@@ -456,10 +499,11 @@ def _attn_ln_ok(x, w, heads: int, hpb: int = 2, emit: bool = False) -> bool:
     # peak-phase VMEM estimate (bytes): x double-buffered + w db + qkv
     # bf16 + one q-chunk of logits f32 + its exp + bf16 cast + out db;
     # the LN transient and f32 qkv live only before the score phase.
-    # emit adds the double-buffered qkv output block (the q-chunk halves).
-    qc = min(_Q_CHUNK // 2 if emit else _Q_CHUNK, N)
+    # emit adds the double-buffered qkv output block (the q-chunk halves);
+    # the non-emit cached variant adds the (N, C) LN(x) scratch.
+    qc = min(_Q_CHUNK // 2 if emit else _Q_CHUNK_CACHED, N)
     it = x.dtype.itemsize
-    ex = 2 * N * cols * it if emit else 0
+    ex = 2 * N * cols * it if emit else N * C * it
     peak = ex + max(
         2 * N * C * it + 2 * C * cols * it + N * cols * (4 + it) + N * C * it,
         2 * N * C * it + 2 * C * cols * it + N * cols * it

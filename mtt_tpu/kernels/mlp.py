@@ -269,6 +269,83 @@ def _mlp_ln_res_pallas(x3, gamma, beta, w1, b1, w2, b2, eps: float,
       w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
 
 
+def _mlp_ln_res_bb_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, o_ref, xn_ref, acc, *, nsub: int,
+                          eps: float, bb: int, bn: int):
+    """Batch-blocked variant: ``bb`` batch items share one grid cell, so the
+    fc1/fc2 weight blocks stream from HBM once per ``bb`` items instead of
+    once per item (16.8 MB x B x nN -> /bb at ViT-L shapes). The sub-batch
+    is unrolled with static slices — same 2-D matmuls as the base kernel."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        for u in range(bb):
+            xf = x_ref[u].astype(jnp.float32)
+            m = xf.mean(axis=-1, keepdims=True)
+            xc = xf - m
+            v = (xc * xc).mean(axis=-1, keepdims=True)
+            y = xc * jax.lax.rsqrt(v + eps)
+            xn_ref[u * bn:(u + 1) * bn, :] = \
+                (y * g_ref[0] + be_ref[0]).astype(xn_ref.dtype)
+        acc[...] = jnp.zeros_like(acc)
+
+    for u in range(bb):
+        h = jax.lax.dot_general(
+            xn_ref[u * bn:(u + 1) * bn, :], w1_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        h = _gelu_erf_poly(h + b1_ref[0]).astype(xn_ref.dtype)
+        acc[u * bn:(u + 1) * bn, :] += jax.lax.dot_general(
+            h, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nsub - 1)
+    def _():
+        for u in range(bb):
+            r = (acc[u * bn:(u + 1) * bn, :] + b2_ref[0]
+                 + x_ref[u].astype(jnp.float32))
+            o_ref[u] = r.astype(o_ref.dtype)
+
+
+def _mlp_ln_res_pallas_bb(x3, gamma, beta, w1, b1, w2, b2, eps: float,
+                          bb: int = 2, block_n: int = 0, block_h: int = 512,
+                          interpret: bool = False):
+    B, N, C = x3.shape
+    H = w1.shape[1]
+    if block_n == 0:
+        block_n = _pick_block_n(N)
+    nN = -(-N // block_n)
+    block_h = min(block_h, H)
+    nsub = H // block_h
+    kwargs = {"scratch_shapes": [
+        pltpu.VMEM((bb * block_n, C), x3.dtype),
+        pltpu.VMEM((bb * block_n, C), jnp.float32),
+    ]} if pltpu is not None else {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_res_bb_kernel, nsub=nsub, eps=eps,
+                          bb=bb, bn=block_n),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x3.dtype),
+        grid=(B // bb, nN, nsub),
+        in_specs=[
+            pl.BlockSpec((bb, block_n, C), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((C, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((1, block_h), lambda b, i, j: (0, j)),
+            pl.BlockSpec((block_h, C), lambda b, i, j: (j, 0)),
+            pl.BlockSpec((1, C), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, block_n, C), lambda b, i, j: (b, i, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(x3, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32),
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
 def _ln_f32(x, gamma, beta, eps):
     xf = x.astype(jnp.float32)
     m = xf.mean(axis=-1, keepdims=True)
@@ -283,9 +360,33 @@ def _mlp_ln_res_xla(x2, gamma, beta, w1, b1, w2, b2, eps):
     return x2 + _mlp_xla(xn, w1, b1, w2, b2)
 
 
+def _bb_for(x3, w1, block_h: int = 512) -> int:
+    """Sub-batch per grid cell for the batch-blocked kernel: divides the
+    fc1/fc2 HBM weight streaming by bb. Constrained by the 16 MB scoped
+    VMEM (the f32 training path at ViT-B shapes OOMs at bb=2). 1 disables
+    (MTT_MLP_BB override)."""
+    import os
+    bb = int(os.environ.get("MTT_MLP_BB", "2"))
+    B, N, C = x3.shape
+    bn = _pick_block_n(N)
+    it = x3.dtype.itemsize
+    while bb > 1:
+        # x double-buffered + xn scratch + f32 acc + out db + w1/w2 db
+        vmem = (2 * bb * bn * C * it + bb * bn * C * it + bb * bn * C * 4
+                + 2 * bb * bn * C * it + 4 * C * block_h * w1.dtype.itemsize)
+        if B % bb == 0 and vmem <= 15 * 2 ** 20:
+            return bb
+        bb -= 1
+    return 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp_ln_res(x2, gamma, beta, w1, b1, w2, b2, eps: float, impl: str):
     if impl == "pallas" and pltpu is not None and _pallas_ok(x2, w1):
+        bb = _bb_for(x2, w1)
+        if bb > 1:
+            return _mlp_ln_res_pallas_bb(x2, gamma, beta, w1, b1, w2, b2,
+                                         eps, bb=bb)
         return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps)
     if impl == "interpret" and pltpu is not None and _pallas_ok(x2, w1):
         return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps,
