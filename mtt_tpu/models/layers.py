@@ -69,6 +69,19 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+class _Conv3x3Params(nn.Module):
+    """Declares nn.Conv-layout params for a 3x3 conv without computing."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class LNParams(nn.Module):
     """Declares nn.LayerNorm-layout params (scale/bias) without computing —
     the fused block kernels take LN params as plain inputs while the tree
@@ -353,3 +366,139 @@ def upsample2x(x):
     """2x bilinear upsample, NHWC."""
     B, H, W, C = x.shape
     return _upsample_matmul(x, (2 * H, 2 * W))
+
+
+# ---------------------------------------------------------------------------
+# Fused 4x-bilinear-upsample + 3x3 SAME conv, computed at LOW resolution.
+#
+# conv3x3(upsample4(x)) is linear in x, so it equals one low-res conv with
+# 16 phase-composite kernels: high-res row h = 4q+p reads upsampled rows
+# 4q+p-1..4q+p+1, each a 2-tap bilinear mix of low-res rows q-1..q+1, so
+# each output phase is a 3x3 conv over the low-res grid (same in width).
+# This replaces the model's hottest materialisation: the per-task
+# (B,4gh,4gw,350) upsampled feature map never exists — the head conv reads
+# the (B,gh,gw,350) map directly and emits phase-major channels, and the
+# following BN/GELU/1x1 run in phase space (pointwise ops commute with
+# depth-to-space). Used by ConvHead (reference TaskPrompter heads apply a
+# 3x3 conv to the 4x-upsampled backbone features,
+# taskprompter.py:411-421,688-698).
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=1)
+def _up4_phase_matrix():
+    """M[p, k, d]: weight of low-res row (q+d-1), d in 0..2, in high-res
+    conv tap k (0..2) of output row 4q+p, under half-pixel 4x bilinear
+    (torch align_corners=False). Rows beyond the image are handled
+    separately (zero conv padding / edge clamping)."""
+    # upsampled row 4q'+p' = a0[p'] * x[q'+F[p']] + a1[p'] * x[q'+F[p']+1]
+    F = [-1, -1, 0, 0]
+    a0 = [0.375, 0.125, 0.875, 0.625]
+    M = _np.zeros((4, 3, 3), _np.float32)
+    for p in range(4):
+        for k in range(3):
+            m = p - 1 + k                      # high-res row offset 4q+m
+            qs, pp = m // 4, m % 4
+            d0 = qs + F[pp]
+            M[p, k, d0 + 1] += a0[pp]
+            M[p, k, d0 + 2] += 1.0 - a0[pp]
+    return M
+
+
+def up4_conv3x3_main(x, kernel, dtype=None):
+    """Main (edge-padded, borders-not-yet-fixed) low-res composite conv:
+    exact conv3x3-SAME(bilinear_upsample4(x)) everywhere except the 1-pixel
+    high-res border. No bias. Returns (B, gh, gw, 16*Cout) with FLAT
+    phase-major channels ((py*4+px)*Cout+d) — kept flat so downstream
+    pointwise ops never force the layout-hostile (16, Cout) minor split."""
+    B, gh, gw, C = x.shape
+    Cout = kernel.shape[-1]
+    dtype = dtype or x.dtype
+    kf = kernel.astype(jnp.float32)
+    M = jnp.asarray(_up4_phase_matrix())
+    # W_eff[i,j,c,(py,px,d)] = sum_{k,l} W[k,l,c,d] M[py,k,i] M[px,l,j]
+    w_eff = jnp.einsum("klcd,pki,qlj->ijcpqd", kf, M, M)
+    w_eff = w_eff.reshape(3, 3, C, 16 * Cout).astype(dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return jax.lax.conv_general_dilated(
+        xp, w_eff, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B,gh,gw,16*Cout)
+
+
+def up4_conv3x3_borders(x, kernel, dtype=None):
+    """Exact high-res border rows/cols of conv3x3-SAME(upsample4(x)) — the
+    only outputs that read the conv's zero padding. Small strip convs on
+    the clamped upsample (whose +-1 border neighbours all equal the edge
+    row/col). No bias. Returns (row0, rowl, col0, coll):
+    rows (B, 4gw, Cout), cols (B, 4gh, Cout)."""
+    B, gh, gw, C = x.shape
+    dtype = dtype or x.dtype
+    kd = kernel.astype(dtype)
+
+    def _strip_rows(rows3):                     # (B,3,W_hi,C) -> (B,W_hi,Cout)
+        y = jax.lax.conv_general_dilated(
+            rows3, kd, (1, 1), [(0, 0), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, 0]
+
+    def _strip_cols(cols3):                     # (B,H_hi,3,C) -> (B,H_hi,Cout)
+        y = jax.lax.conv_general_dilated(
+            cols3, kd, (1, 1), [(1, 1), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :, 0]
+
+    u_top = interpolate(x[:, :1], (1, 4 * gw))            # = U rows 0 and 1
+    u_bot = interpolate(x[:, -1:], (1, 4 * gw))           # = U rows -2 and -1
+    zr = jnp.zeros_like(u_top)
+    row0 = _strip_rows(jnp.concatenate([zr, u_top, u_top], 1))
+    rowl = _strip_rows(jnp.concatenate([u_bot, u_bot, zr], 1))
+    u_left = interpolate(x[:, :, :1], (4 * gh, 1))        # = U cols 0 and 1
+    u_right = interpolate(x[:, :, -1:], (4 * gh, 1))
+    zc = jnp.zeros_like(u_left)
+    col0 = _strip_cols(jnp.concatenate([zc, u_left, u_left], 2))
+    coll = _strip_cols(jnp.concatenate([u_right, u_right, zc], 2))
+    return row0, rowl, col0, coll
+
+
+def scatter_up4_borders(main, row0, rowl, col0, coll, Cout: int):
+    """Overwrite the flat phase-major border entries of ``main``
+    (B, gh, gw, 16*Cout) with the exact strips: row phase py=0 of q=0 is
+    the contiguous channel block [0:4*Cout), py=3 of q=gh-1 is
+    [12*Cout:16*Cout); col phases px=0/3 are Cout-sized blocks at stride
+    4*Cout (4 small contiguous updates each)."""
+    B = main.shape[0]
+    gh, gw = main.shape[1], main.shape[2]
+    main = main.at[:, 0, :, 0:4 * Cout].set(
+        row0.reshape(B, gw, 4 * Cout).astype(main.dtype))
+    main = main.at[:, -1, :, 12 * Cout:16 * Cout].set(
+        rowl.reshape(B, gw, 4 * Cout).astype(main.dtype))
+    col0 = col0.reshape(B, gh, 4, Cout).astype(main.dtype)
+    coll = coll.reshape(B, gh, 4, Cout).astype(main.dtype)
+    for py in range(4):
+        main = main.at[:, :, 0, py * 4 * Cout:py * 4 * Cout + Cout].set(
+            col0[:, :, py])
+        main = main.at[:, :, -1,
+                       (py * 4 + 3) * Cout:(py * 4 + 4) * Cout].set(
+            coll[:, :, py])
+    return main
+
+
+def up4_conv3x3(x, kernel, bias, dtype=None):
+    """Exact conv3x3-SAME(bilinear_upsample4(x)) at low resolution:
+    main composite conv + exact border scatter (+ bias). Reassemble the
+    high-res map with depth_to_space4."""
+    Cout = kernel.shape[-1]
+    dtype = dtype or x.dtype
+    main = up4_conv3x3_main(x, kernel, dtype)
+    row0, rowl, col0, coll = up4_conv3x3_borders(x, kernel, dtype)
+    main = scatter_up4_borders(main, row0, rowl, col0, coll, Cout)
+    if bias is not None:
+        main = main + jnp.tile(bias, 16).astype(main.dtype)
+    return main.astype(dtype)
+
+
+def depth_to_space4(y, channels: int):
+    """(B, gh, gw, 16*C) flat phase-major -> (B, 4gh, 4gw, C)."""
+    B, gh, gw, _ = y.shape
+    y = y.reshape(B, gh, gw, 4, 4, channels).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 4 * gh, 4 * gw, channels)

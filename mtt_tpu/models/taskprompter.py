@@ -314,6 +314,9 @@ class TaskPrompterViT(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    # when False, per-task features return at patch-grid resolution and the
+    # consumer owns the 4x upsample (ConvHead up4 fuses it into its conv)
+    upsample_out: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -373,7 +376,8 @@ class TaskPrompterViT(nn.Module):
         out = {}
         for t in self.tasks:
             f = task_fea[t] + fea[t]
-            f = interpolate(f, (4 * gh, 4 * gw))
+            if self.upsample_out:
+                f = interpolate(f, (4 * gh, 4 * gw))
             out[t] = f
         return out
 

@@ -81,12 +81,25 @@ class TaskPrompterNet(nn.Module):
         img_size = x.shape[1:3]
         target_size = self.target_size or img_size
         spec = TASKPROMPTER_VIT_SPECS[self.backbone_name]
+        # MTT_HEAD_UP4=1: conv heads fuse the backbone's 4x feature upsample
+        # into their 3x3 conv (ConvHead up4; exact — pinned by the parity
+        # test): the backbone returns patch-grid features and the
+        # (B,4gh,4gw,350) per-task maps are never materialised. Off by
+        # default: on v5e the low-res composite conv wins 1.3 ms/step but
+        # XLA's layout/scatter overhead around the flat phase channels
+        # costs more than the materialised path's fused upsample+conv
+        # (123 -> 115 imgs/s measured end-to-end); revisit as a single
+        # Pallas head kernel.
+        import os
+        fused_up4 = (self.head_name == "conv"
+                     and os.environ.get("MTT_HEAD_UP4", "0") not in ("", "0"))
         backbone = TaskPrompterViT(
             tasks=tuple(self.tasks), img_size=img_size,
             chan_nheads=self.chan_nheads, prompt_len=self.prompt_len,
             tar_dim=self.tar_dim, final_dim=self.final_dim,
             use_ctr=self.use_ctr, drop_path_rate=self.drop_path_rate,
-            dtype=self.dtype, name="backbone", **spec)
+            upsample_out=not fused_up4, dtype=self.dtype, name="backbone",
+            **spec)
         task_features = backbone(x, train=train)
 
         head_cls = HEADS[self.head_name]
@@ -97,8 +110,10 @@ class TaskPrompterNet(nn.Module):
                 # wired in the Swin/Cityscapes pipeline.
                 out[t] = task_features[t]
                 continue
+            kw = {"up4": True} if fused_up4 else {}
             logits = head_cls(self.num_outputs[t], dtype=self.dtype,
-                              name=f"head_{t}")(task_features[t], train=train)
+                              name=f"head_{t}", **kw)(task_features[t],
+                                                      train=train)
             out[t] = interpolate(logits, target_size, "bilinear")
         return out
 

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Bench every BASELINE config + the training step; write BENCH_CONFIGS.json.
+
+Covers VERDICT r1 'Missing #5': the headline bench (bench.py) measures only
+TaskPrompter-ViT-L PASCAL inference; this runner adds InvPT-ViT-L inference
+(the decoder kernel's workload), TaskPrompter-Swin-B Cityscapes-3D
+inference, the ViT-B config, and a TaskPrompter-ViT-L *training* step
+(bf16 compute, fp32 params, batch 2/chip — the reference's per-GPU batch,
+configs/pascal/pascal_vitLp16.yml:17).
+
+Usage: python tools/bench_all.py [--out BENCH_CONFIGS.json] [--skip ...]
+Each config prints one JSON line; all lines land in the output file.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import subprocess
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench_py(extra_env):
+    env = dict(os.environ, **extra_env)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, timeout=900)
+    for line in out.stdout.splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py produced no JSON: {out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def bench_swin_cs3d(steps=10):
+    """TaskPrompter-Swin-B Cityscapes-3D joint 2D-3D inference (batch 1 at
+    1024x2048, img_ds_ratio 0.75 — the reference's eval shape,
+    cs_swinB_taskprompter.yml:8,14)."""
+    import jax
+    import jax.numpy as jnp
+    from mtt_tpu.config import create_config
+    from mtt_tpu.models.wrappers import build_model
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    p = create_config(os.path.join(REPO, "configs/cityscapes3d/"
+                                   "taskprompter_swinB.yml"),
+                      {"run_mode": "infer"})
+    model = build_model(p, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    v = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                     if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                     v)
+
+    @jax.jit
+    def fwd(v, inp):
+        out = model.apply(v, inp, train=False)
+        leaves = jax.tree.leaves(out)
+        return jnp.float32(sum(jnp.sum(l.astype(jnp.float32))
+                               for l in leaves))
+
+    float(jax.device_get(fwd(v, x)))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        r = fwd(v, x)
+    float(jax.device_get(r))
+    dt = time.perf_counter() - t0
+    return {"metric": "imgs/sec/chip (TaskPrompter-Swin-B Cityscapes-3D "
+                      "3-task inference, bf16, batch 1 @1024x2048)",
+            "value": round(steps / dt, 2), "unit": "imgs/sec/chip"}
+
+
+def bench_train_step(steps=10):
+    """Full TaskPrompter-ViT-L PASCAL training step (fwd+bwd+adam+poly),
+    bf16 compute / fp32 params, batch 2/chip (the reference per-GPU batch)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mtt_tpu.config import create_config
+    from mtt_tpu.models.wrappers import build_model
+    from mtt_tpu.utils.train_utils import Trainer
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    p = create_config(os.path.join(REPO, "configs/pascal/"
+                                   "taskprompter_vitLp16.yml"),
+                      {"run_mode": "train"})
+    model = build_model(p, dtype=jnp.bfloat16)
+    B, h, w = 2, 512, 512
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(B, h, w, 3)).astype(np.float32),
+        "semseg": rng.integers(0, 21, (B, h, w, 1)).astype(np.float32),
+        "human_parts": rng.integers(0, 7, (B, h, w, 1)).astype(np.float32),
+        "sal": (rng.random((B, h, w, 1)) > 0.5).astype(np.float32),
+        "edge": (rng.random((B, h, w, 1)) > 0.9).astype(np.float32),
+        "normals": rng.normal(size=(B, h, w, 3)).astype(np.float32),
+    }
+    trainer = Trainer(p, model)
+    state = trainer.init_state(batch)
+    key = jax.random.PRNGKey(0)
+    state, losses = trainer.train_step(state, batch, key)   # compile
+    jax.block_until_ready(losses["total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = trainer.train_step(state, batch, key)
+    float(jax.device_get(losses["total"]))
+    dt = time.perf_counter() - t0
+    return {"metric": "train step ms/iter (TaskPrompter-ViT-L PASCAL "
+                      "5-task, bf16 compute, batch 2/chip)",
+            "value": round(dt / steps * 1000, 1), "unit": "ms/iter",
+            "imgs_per_sec": round(steps * B / dt, 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_CONFIGS.json"))
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+
+    results = {}
+    jobs = [
+        ("taskprompter_vitL", lambda: run_bench_py({})),
+        ("taskprompter_vitB", lambda: run_bench_py(
+            {"MTT_BENCH_BACKBONE": "TaskPrompter_vitB"})),
+        ("invpt_vitL", lambda: run_bench_py({"MTT_BENCH_MODEL": "invpt"})),
+        ("swin_cs3d", bench_swin_cs3d),
+        ("train_step_vitL", bench_train_step),
+    ]
+    for name, fn in jobs:
+        if name in args.skip:
+            continue
+        try:
+            results[name] = fn()
+            print(name, json.dumps(results[name]))
+        except Exception as e:  # noqa: BLE001 - record per-config failures
+            results[name] = {"error": str(e)[:500]}
+            print(name, "FAILED:", str(e)[:300])
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
