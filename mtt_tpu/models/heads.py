@@ -28,29 +28,36 @@ class MLPHead(nn.Module):
 class ConvHead(nn.Module):
     """3x3 conv + BN + GELU -> 1x1 logits.
 
-    With ``up4=True`` the input is the LOW-resolution backbone feature map
-    and the head computes the exact composite conv3x3(upsample4(x)) via 16
-    phase kernels at low resolution (layers.up4_conv3x3_main): the per-task
-    (B,4gh,4gw,C) upsampled map — the model's single hottest HBM tensor —
-    is never materialised; BN/GELU/1x1 run on the flat phase channels
-    (pointwise ops commute with depth-to-space) and only the small logit
-    map is reassembled. In eval mode the exact border fixups (the 1-px
-    high-res frame that reads the conv's zero padding) are pushed through
-    the same pointwise epilogue and scattered into the tiny LOGIT tensor,
-    so nothing sits between the big conv and the BN/GELU — XLA fuses them
-    into one pass. Parameter tree and math identical to the plain path
-    (reference: heads applied to the 4x-upsampled features,
+    With ``up4`` set (the input is then the LOW-resolution backbone
+    feature map) the head computes the exact composite
+    conv3x3(upsample4(x)) without ever materialising the per-task
+    (B,4gh,4gw,C) upsampled map — the model's single hottest HBM tensor.
+    Two composite implementations:
+
+    - ``up4='factored'`` (default on the wrapper): the channel
+      contraction runs at low resolution and two shifted-upsample mix
+      matmuls expand the spatial dims (layers.up4_conv3x3_factored,
+      8.7x fewer FLOPs than the dense composite; 0.61 vs 2.55 ms/task
+      measured on v5e). BN/GELU run channel-major; only the tiny logit
+      map is transposed back.
+    - ``up4='phase'``: 16 phase kernels at low resolution with flat
+      phase-major channels and exact 1-px border fixups scattered into
+      the logit tensor (kept: same param tree, useful fallback).
+
+    Parameter tree and math identical to the plain path (reference:
+    heads applied to the 4x-upsampled features,
     taskprompter.py:411-421,688-698)."""
     num_classes: int
-    up4: bool = False
+    up4: object = False          # False | True(=phase) | 'phase' | 'factored'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = x.shape[-1]
+        mode = {True: "phase", False: "dense"}.get(self.up4, self.up4)
         # exact-erf gelu: torch nn.GELU default (flax defaults to tanh-approx)
         gelu_exact = lambda v: nn.gelu(v, approximate=False)  # noqa: E731
-        if not self.up4:
+        if mode == "dense":
             x = ConvBNAct(C, (3, 3), act=gelu_exact, use_bias=True,
                           dtype=self.dtype, name="mt_proj")(x, train=train)
             return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
@@ -59,12 +66,40 @@ class ConvHead(nn.Module):
         from mtt_tpu.models.layers import (_Conv1x1Params, depth_to_space4,
                                            scatter_up4_borders,
                                            up4_conv3x3_borders,
+                                           up4_conv3x3_factored,
                                            up4_conv3x3_main)
         n = self.num_classes
         dt = self.dtype
         kc, bc, gamma, beta, ra_mean, ra_var = \
             _MtProjParams(C, C, name="mt_proj")()
         kp, bp = _Conv1x1Params(n, C, name="linear_pred")()
+
+        if mode == "factored":
+            Y = up4_conv3x3_factored(x, kc).astype(dt)   # (B, C, W4, H4)
+            if train:
+                yf = (Y + bc[None, :, None, None].astype(dt)) \
+                    .astype(jnp.float32)
+                m = yf.mean(axis=(0, 2, 3))              # (C,)
+                xc = yf - m[None, :, None, None]
+                v = (xc * xc).mean(axis=(0, 2, 3))
+                if not self.is_initializing():
+                    # nn.BatchNorm running-average semantics (momentum 0.9)
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * m
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * v
+            else:
+                m, v = (ra_mean.value.astype(jnp.float32),
+                        ra_var.value.astype(jnp.float32))
+            inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+            addv = (beta.astype(jnp.float32) - m * inv
+                    + bc.astype(jnp.float32) * inv)      # conv bias folded
+            y = gelu_exact(Y * inv[None, :, None, None].astype(dt)
+                           + addv[None, :, None, None].astype(dt))
+            # 1x1 logits: contract the channel axis -> (B, W4, H4, n)
+            logits = jax.lax.dot_general(
+                y, kp[0, 0].astype(dt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = (logits + bp.astype(jnp.float32)).astype(dt)
+            return logits.transpose(0, 2, 1, 3)          # (B, H4, W4, n)
 
         def grouped_logits(y):
             # per-phase 1x1 logits on the flat phase channels. NOT a

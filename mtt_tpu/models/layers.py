@@ -502,3 +502,51 @@ def depth_to_space4(y, channels: int):
     B, gh, gw, _ = y.shape
     y = y.reshape(B, gh, gw, 4, 4, channels).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(B, 4 * gh, 4 * gw, channels)
+
+
+@_functools.lru_cache(maxsize=32)
+def _up4_shift_stack_np(g: int):
+    """(g, 3, 4g) stacked shifted-upsample mix matrices: entry [w, l, W]
+    is the weight with which low-res column w contributes to high-res
+    output column W through conv tap l (l-1 = tap offset). Shifted rows
+    of the 4x bilinear matrix; out-of-range rows are zero, which encodes
+    the conv's SAME zero padding EXACTLY (no border fixups needed)."""
+    U = _linear_resize_matrix(g, 4 * g)              # (4g, g)
+    S = _np.zeros((3, 4 * g, g), _np.float32)
+    for k in range(3):
+        d = k - 1
+        lo, hi = max(0, -d), min(4 * g, 4 * g - d)
+        S[k, lo:hi] = U[lo + d:hi + d]
+    return S.transpose(2, 0, 1).copy()               # (g, 3, 4g)
+
+
+def up4_conv3x3_factored(x, kernel):
+    """Exact conv3x3-SAME(bilinear_upsample4(x)) with the channel
+    contraction at LOW resolution. conv and upsample are both linear, so
+    the composite factors: Y = sum_{k,l} Sh[k] (x @ W[k,l]) Sw[l]^T with
+    Sh/Sw the shifted 4x-upsample matrices (see _up4_shift_stack_np).
+    FLOPs at bench shapes: 33 GF vs 289 GF for the dense composite (8.7x
+    fewer — the 9 channel matmuls run on the 16x-smaller low-res map and
+    the spatial mixes are K=3g rank). Measured 0.61 ms vs 2.55 ms per
+    task end-to-end on v5e (tools/proto_head_factored.py lineage).
+
+    Returns CHANNEL-MAJOR (B, Cout, W4, H4) f32 — the layout the two
+    spatial-mix dot_generals emit; callers run the pointwise epilogue
+    (bias/BN/act) along axis 1 and transpose only their tiny logit map.
+    """
+    B, gh, gw, C = x.shape
+    D = kernel.shape[-1]
+    dt = x.dtype
+    Wf = kernel.astype(dt).transpose(2, 0, 1, 3).reshape(C, 9 * D)
+    Gm = jax.lax.dot_general(x.reshape(B * gh * gw, C), Wf,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    G6 = Gm.astype(dt).reshape(B, gh, gw, 3, 3, D)   # b h w k l d
+    Sw = jnp.asarray(_up4_shift_stack_np(gw), dt)    # (w, l, W4)
+    Sh = jnp.asarray(_up4_shift_stack_np(gh), dt)    # (h, k, H4)
+    M = jax.lax.dot_general(G6, Sw, (((2, 4), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(dt)
+    # (B, h, k, d, W4)
+    Y = jax.lax.dot_general(M, Sh, (((1, 2), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return Y                                         # (B, d, W4, H4) f32

@@ -81,18 +81,21 @@ class TaskPrompterNet(nn.Module):
         img_size = x.shape[1:3]
         target_size = self.target_size or img_size
         spec = TASKPROMPTER_VIT_SPECS[self.backbone_name]
-        # MTT_HEAD_UP4=1: conv heads fuse the backbone's 4x feature upsample
-        # into their 3x3 conv (ConvHead up4; exact — pinned by the parity
-        # test): the backbone returns patch-grid features and the
-        # (B,4gh,4gw,350) per-task maps are never materialised. Off by
-        # default: on v5e the low-res composite conv wins 1.3 ms/step but
-        # XLA's layout/scatter overhead around the flat phase channels
-        # costs more than the materialised path's fused upsample+conv
-        # (123 -> 115 imgs/s measured end-to-end); revisit as a single
-        # Pallas head kernel.
+        # Conv heads fuse the backbone's 4x feature upsample into their
+        # 3x3 conv (ConvHead up4; exact — pinned by the parity test): the
+        # backbone returns patch-grid features and the (B,4gh,4gw,350)
+        # per-task maps are never materialised. Default 'factored' (the
+        # channel contraction runs at low resolution: 0.61 vs 2.55
+        # ms/task measured on v5e — layers.up4_conv3x3_factored);
+        # MTT_HEAD_IMPL=dense|phase|factored overrides, legacy
+        # MTT_HEAD_UP4=1 selects the phase path.
         import os
+        head_impl = os.environ.get("MTT_HEAD_IMPL")
+        if head_impl is None:
+            head_impl = ("phase" if os.environ.get("MTT_HEAD_UP4", "0")
+                         not in ("", "0") else "factored")
         fused_up4 = (self.head_name == "conv"
-                     and os.environ.get("MTT_HEAD_UP4", "0") not in ("", "0"))
+                     and head_impl in ("phase", "factored"))
         backbone = TaskPrompterViT(
             tasks=tuple(self.tasks), img_size=img_size,
             chan_nheads=self.chan_nheads, prompt_len=self.prompt_len,
@@ -110,7 +113,7 @@ class TaskPrompterNet(nn.Module):
                 # wired in the Swin/Cityscapes pipeline.
                 out[t] = task_features[t]
                 continue
-            kw = {"up4": True} if fused_up4 else {}
+            kw = {"up4": head_impl} if fused_up4 else {}
             logits = head_cls(self.num_outputs[t], dtype=self.dtype,
                               name=f"head_{t}", **kw)(task_features[t],
                                                       train=train)

@@ -119,17 +119,22 @@ def test_up4_head_path_matches_materialized(monkeypatch):
                             final_dim=28, use_ctr=False, drop_path_rate=0.0)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
                     jnp.float32)
-    monkeypatch.setenv("MTT_HEAD_UP4", "0")
+    monkeypatch.setenv("MTT_HEAD_IMPL", "dense")
     v = model.init(jax.random.PRNGKey(0), x)
     ref = model.apply(v, x, train=False)
     ref_tr, mut_ref = model.apply(v, x, train=True, mutable=["batch_stats"],
                                   rngs={"dropout": jax.random.PRNGKey(1)})
-    monkeypatch.setenv("MTT_HEAD_UP4", "1")
-    got = model.apply(v, x, train=False)
-    got_tr, mut_got = model.apply(v, x, train=True, mutable=["batch_stats"],
-                                  rngs={"dropout": jax.random.PRNGKey(1)})
-    for t in tasks:
-        np.testing.assert_allclose(got[t], ref[t], atol=2e-5, rtol=1e-5)
-        np.testing.assert_allclose(got_tr[t], ref_tr[t], atol=2e-5, rtol=1e-5)
-    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
-                 mut_ref["batch_stats"], mut_got["batch_stats"])
+    for impl in ("phase", "factored"):
+        monkeypatch.setenv("MTT_HEAD_IMPL", impl)
+        got = model.apply(v, x, train=False)
+        got_tr, mut_got = model.apply(v, x, train=True,
+                                      mutable=["batch_stats"],
+                                      rngs={"dropout": jax.random.PRNGKey(1)})
+        for t in tasks:
+            np.testing.assert_allclose(got[t], ref[t], atol=2e-5, rtol=1e-5,
+                                       err_msg=f"{impl}:{t}")
+            np.testing.assert_allclose(got_tr[t], ref_tr[t], atol=2e-5,
+                                       rtol=1e-5, err_msg=f"{impl}:{t}")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            mut_ref["batch_stats"], mut_got["batch_stats"])

@@ -29,15 +29,16 @@ from mtt_tpu.models.layers import _linear_resize_matrix, interpolate
 
 
 def shift_up_matrices(g: int, dtype):
-    """Sh[k] (4g, g): rows of the 4x upsample matrix shifted by k-1 with
-    zero rows where the conv tap reads the zero padding."""
+    """S[k] (g, 4g): TRANSPOSED rows of the 4x upsample matrix shifted by
+    k-1, with zero columns where the conv tap reads the zero padding —
+    laid out (low, high) so the einsums contract over the low-res axis."""
     U = _linear_resize_matrix(g, 4 * g)              # (4g, g)
     S = np.zeros((3, 4 * g, g), np.float32)
     for k in range(3):
         d = k - 1
         lo, hi = max(0, -d), min(4 * g, 4 * g - d)
         S[k, lo:hi] = U[lo + d:hi + d]
-    return jnp.asarray(S, dtype)
+    return jnp.asarray(S.transpose(0, 2, 1), dtype)  # (3, g, 4g)
 
 
 def bench(fn, args, steps=20):
