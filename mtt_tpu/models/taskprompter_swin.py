@@ -358,17 +358,24 @@ class TaskPrompterSwin(nn.Module):
                 blk_i += 1
 
             if not last_layer:
-                fea = SwinTaskDecode(self.tasks, self.num_heads[il],
-                                     self.prompt_len, self.tar_dim,
-                                     self.final_dim, il, self.dtype,
-                                     name=f"decode_{il}")(
-                    x.reshape(B, res[0], res[1], dims[il]), raw, train=train)
-                for t in self.tasks:
-                    task_fea[t].append(fea[t])
+                # reference order (taskprompter_swin.py:692-696,527-537):
+                # PatchMerging FIRST (x -> (res/2, 2C); spa maps stride-2
+                # conv; chan attn + prompts re-projected to 2C), THEN the
+                # stage decode consumes the POST-merge x and maps —
+                # p.backbone_channels = [2C0, 2C1, 2C2, C3], strides
+                # [8, 16, 32, 32] (common_config.py:36-38)
                 x, prompts, raw = PatchMerging(
                     dims[il], res, self.num_heads[il], P, self.dtype,
                     name=f"merge_{il}")(x, prompts, raw)
                 res = (res[0] // 2, res[1] // 2)
+                fea = SwinTaskDecode(self.tasks, self.num_heads[il],
+                                     self.prompt_len, self.tar_dim,
+                                     self.final_dim, il, self.dtype,
+                                     name=f"decode_{il}")(
+                    x.reshape(B, res[0], res[1], 2 * dims[il]), raw,
+                    train=train)
+                for t in self.tasks:
+                    task_fea[t].append(fea[t])
 
         x = FusedLN(epsilon=1e-5, name="norm")(x)
         fea = SwinTaskDecode(self.tasks, self.num_heads[-1], self.prompt_len,

@@ -10,7 +10,20 @@ from __future__ import annotations
 import os
 
 
+def _ensure_scoped_vmem_limit():
+    """Raise the TPU scoped-VMEM cap for the fused up4 head kernel
+    (kernels/head_up4.py): its minimal schedule needs ~20.6 MB scoped
+    VMEM inside the full-model program (the n-lane-padded logits block
+    dominates), above the 16 MB default. Must run before libtpu loads.
+    """
+    flag = "--xla_tpu_scoped_vmem_limit_kib=23552"
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "scoped_vmem_limit" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + flag).strip()
+
+
 def enable_compilation_cache(path: str | None = None):
+    _ensure_scoped_vmem_limit()
     import jax
 
     path = path or os.environ.get(

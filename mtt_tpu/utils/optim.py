@@ -32,7 +32,8 @@ def build_optimizer(p):
     clip = p.get("grad_clip_param")
     if clip:
         if isinstance(clip, str):
-            clip = eval(clip, {"__builtins__": {}})  # YAML stores a dict literal
+            import ast
+            clip = ast.literal_eval(clip)  # YAML stores a dict literal
         chain.append(optax.clip_by_global_norm(float(clip["max_norm"])))
     if wd:
         chain.append(optax.add_decayed_weights(wd))

@@ -90,8 +90,11 @@ def make_swin_sd(rng):
                   3, rng)
     _ln(sd, "backbone.norm", dims[-1], rng)
 
+    # decode consumes POST-merge features: backbone_channels =
+    # [2C0, 2C1, 2C2, C3] (reference common_config.py:36)
+    bb_ch = [dims[0] * 2, dims[1] * 2, dims[2] * 2, dims[3]]
     for il in range(4):
-        C = dims[il]
+        C = bb_ch[il]
         for t in TASKS:
             _conv(sd, f"backbone.fea_decode_spa.{il}.{t}.0", C, TAR, 1, rng)
             _conv(sd, f"backbone.fea_decode_chan.{il}.{t}.0", C, TAR, 1, rng)

@@ -313,3 +313,39 @@ def test_safe_softmax_env_exact_past_clamp(monkeypatch):
     out = np.asarray(fused_attention_qkv(qkv, H, D ** -0.5,
                                          impl="interpret"))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("g,c,n", [(8, 350, 21), (8, 256, 1)])
+def test_fused_up4_head_matches_xla(g, c, n):
+    """Fused up4 ConvHead kernel (interpret) vs the factored XLA
+    composition: Gm + both spatial mixes + folded-BN affine + exact
+    gelu + 1x1, at a reduced grid size."""
+    from mtt_tpu.kernels.head_up4 import fused_up4_head
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, g, g, c)).astype(np.float32) * 0.3,
+                    jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.02)
+    inv = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c,)).astype(np.float32))
+    addv = jnp.asarray(0.1 * rng.normal(size=(c,)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(c, n)).astype(np.float32) * 0.05)
+    ref = fused_up4_head(x, kc, inv, addv, kp, impl="xla")
+    out = fused_up4_head(x, kc, inv, addv, kp, impl="interpret")
+    assert out.shape == (2, 4 * g, 4 * g, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_up4_head_grad_is_xla_composition():
+    from mtt_tpu.kernels.head_up4 import fused_up4_head, _head_xla
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)).astype(np.float32) * 0.3)
+    kc = jnp.asarray(rng.normal(size=(3, 3, 128, 128)).astype(np.float32)
+                     * 0.02)
+    inv = jnp.ones((128,), jnp.float32)
+    addv = jnp.zeros((128,), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(128, 4)).astype(np.float32) * 0.05)
+    g1 = jax.grad(lambda a: (fused_up4_head(a, kc, inv, addv, kp,
+                                            impl="xla") ** 2).sum())(x)
+    g2 = jax.grad(lambda a: (_head_xla(a, kc, inv, addv, kp) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)

@@ -33,11 +33,13 @@ def test_swin_backbone_outputs():
     x = jnp.zeros((1, 64, 128, 3))
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
-    # 2D task: fused at 2x the stage-0 grid (32x64)
-    assert out["semseg"].shape == (1, 32, 64, 20)
-    # 3ddet: 4-scale list at native grids
+    # 2D task: fused at 2x the POST-merge stage-0 grid (16x32) — the
+    # reference decodes after PatchMerging, backbone strides [8,16,32,32]
+    # (common_config.py:36-38)
+    assert out["semseg"].shape == (1, 16, 32, 20)
+    # 3ddet: 4-scale list at post-merge grids (last two scales equal)
     assert isinstance(out["3ddet"], list) and len(out["3ddet"]) == 4
-    assert out["3ddet"][0].shape == (1, 16, 32, 20)
+    assert out["3ddet"][0].shape == (1, 8, 16, 20)
     assert out["3ddet"][3].shape == (1, 2, 4, 20)
 
 

@@ -102,6 +102,11 @@ def bench_train_step(steps=10):
     trainer = Trainer(p, model)
     state = trainer.init_state(batch)
     key = jax.random.PRNGKey(0)
+    # device-resident batch: the loop must time the STEP, not the
+    # host->device transfer through the remote tunnel (VERDICT r2 #1:
+    # the numpy-fed variant recorded 32,232 ms/iter for a 153 ms step)
+    batch = jax.device_put(batch, trainer.data_sharding)
+    jax.block_until_ready(batch["image"])
     state, losses = trainer.train_step(state, batch, key)   # compile
     jax.block_until_ready(losses["total"])
     t0 = time.perf_counter()
