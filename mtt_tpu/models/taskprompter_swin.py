@@ -222,7 +222,10 @@ class PatchMerging(nn.Module):
         spa_map, raw_chan = raw
         Bh, Hd, P, _, _ = spa_map.shape
         sm = spa_map.reshape(B, Hd * P, H, W).transpose(0, 2, 3, 1)
-        sm = nn.Conv(Hd * P, (3, 3), strides=(2, 2), padding="SAME",
+        # torch Conv2d(k3, s2, padding=1) pads symmetrically; XLA "SAME"
+        # would pad (0, 1) at stride 2 and shift the map by one pixel
+        sm = nn.Conv(Hd * P, (3, 3), strides=(2, 2),
+                     padding=((1, 1), (1, 1)),
                      dtype=self.dtype, name="spa_attn_ds")(sm)
         sm = sm.transpose(0, 3, 1, 2).reshape(B, Hd, P, H // 2, W // 2)
 

@@ -711,3 +711,279 @@ class TestFCOS3DTargetLossParity:
         want = DET_CFG["loss_cls"]["loss_weight"] * want / 1.0
         np.testing.assert_allclose(float(comps["loss_cls"]), float(want),
                                    rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# TaskPrompter-Swin torch oracle (chan_nheads=1, prompt_len=1, eval mode):
+# prompted window attention with relative-position bias and shifted-window
+# masks (taskprompter_swin.py:167-212, 310-404), channel pathway
+# (:371-391), PatchMerging with attention-map downsampling (:430-472),
+# POST-merge per-stage decode (:674-774) and multi-scale fuse (:705-716).
+# ---------------------------------------------------------------------------
+
+from tests.test_convert_swin import (CHAN as S_CHAN, FIN as S_FIN,  # noqa: E402
+                                     TAR as S_TAR, TASKS as S_TASKS,
+                                     E as S_E, HEADS as S_HEADS,
+                                     WINDOW as S_WINDOW, make_swin_sd)
+
+S_DEPTHS = (2, 2, 1, 1)       # depth-2 stages exercise the shifted blocks
+
+
+def _swin_win_part(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def _swin_win_rev(wins, ws, H, W):
+    B = wins.shape[0] // ((H // ws) * (W // ws))
+    x = wins.view(B, H // ws, W // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+def _swin_rel_index(ws):
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(ws), torch.arange(ws), indexing="ij")).flatten(1)
+    rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0).clone()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def _swin_mask(H, W, ws, shift):
+    img = torch.zeros((1, H, W, 1))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = _swin_win_part(img, ws).view(-1, ws * ws)
+    m = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return m.masked_fill(m != 0, -100.0).masked_fill(m == 0, 0.0)
+
+
+def _swin_mlp(x, sd, pre):
+    return _lin(_gelu(_lin(x, sd, pre + ".mlp.fc1")), sd, pre + ".mlp.fc2")
+
+
+def _oracle_swin_block(sd, pre, x, prompts, H, W, nh, window, shift,
+                      last_block):
+    B, L, C = x.shape
+    P = prompts.shape[1]
+    ws = min(window, H, W)
+    if min(H, W) <= window:
+        shift = 0
+    Dh = C // nh
+    N = ws * ws
+
+    ori = prompts
+    spa_p = _ln(prompts, sd, pre + ".norm1", eps=1e-5)
+    chan_p = _lin(prompts, sd, pre + ".token_trans")
+
+    shortcut = x
+    xn = _ln(x, sd, pre + ".norm1", eps=1e-5).view(B, H, W, C)
+    if shift > 0:
+        xn = torch.roll(xn, (-shift, -shift), dims=(1, 2))
+    wins = _swin_win_part(xn, ws)
+    nW = wins.shape[0] // B
+    pw = spa_p[:, None, :, :].expand(-1, nW, -1, -1).reshape(-1, P, C)
+    joint = torch.cat([pw, wins], dim=1)
+    qkv = _lin(joint, sd, pre + ".attn.qkv") \
+        .reshape(-1, P + N, 3, nh, Dh).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    raw_attn = q @ k.transpose(-2, -1)              # pre-scale, pre-bias
+    attn = raw_attn * (Dh ** -0.5)
+    rpbt = _t(sd, pre + ".attn.relative_position_bias_table")
+    bias = rpbt[_swin_rel_index(ws).view(-1)].view(N, N, -1).permute(2, 0, 1)
+    attn[:, :, P:, P:] = attn[:, :, P:, P:] + bias.unsqueeze(0)
+    if shift > 0:
+        m = _swin_mask(H, W, ws, shift)
+        attn = attn.view(B, nW, nh, P + N, P + N)
+        attn[:, :, :, P:, P:] = attn[:, :, :, P:, P:] \
+            + m.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, nh, P + N, P + N)
+    probs = attn.softmax(-1)
+    out = (probs @ v).transpose(1, 2).reshape(-1, P + N, C)
+    out = _lin(out, sd, pre + ".attn.proj")
+    spa_p_out = out[:, :P].reshape(B, nW, P, C).mean(dim=1)
+    xw = _swin_win_rev(out[:, P:].view(-1, ws, ws, C), ws, H, W)
+
+    rp = raw_attn[:, :, :P, P:]                     # (B*nW, nh, P, N)
+    rp = rp.view(B, H // ws, W // ws, nh, P, ws, ws)
+    spa_map = rp.permute(0, 3, 4, 1, 5, 2, 6).reshape(B, nh, P, H, W)
+    if shift > 0:
+        xw = torch.roll(xw, (shift, shift), dims=(1, 2))
+        spa_map = torch.roll(spa_map, (shift, shift), dims=(3, 4))
+    x_attn = xw.reshape(B, L, C)
+
+    # channel pathway on the pre-residual window-attention output
+    qc = _lin(chan_p, sd, pre + ".chan_q")
+    kv = _lin(x_attn.permute(0, 2, 1), sd, pre + ".chan_kv") \
+        .reshape(B, C, 2, -1)
+    kc, vc = kv[:, :, 0, :], kv[:, :, 1, :]
+    raw_chan = qc @ kc.transpose(-2, -1)            # (B, P, C)
+    cattn = (raw_chan * (qc.shape[-1] ** -0.5)).softmax(-1)
+    chan_x = cattn @ vc
+
+    x = shortcut + x_attn
+    x = x + _swin_mlp(_ln(x, sd, pre + ".norm2", eps=1e-5), sd, pre)
+    prompts_new = spa_p_out
+    if not last_block:
+        cp = _lin(chan_x, sd, pre + ".chan_proj")
+        prompts_new = prompts_new + _lin(cp, sd, pre + ".token_trans1")
+        prompts_new = ori + prompts_new
+        prompts_new = prompts_new + _swin_mlp(
+            _ln(prompts_new, sd, pre + ".norm2", eps=1e-5), sd, pre)
+    return x, prompts_new, (spa_map, raw_chan[..., None, None])
+
+
+def _oracle_swin_merge(sd, pre, x, prompts, raw, H, W):
+    B, L, C = x.shape
+    xm = x.view(B, H, W, C)
+    xm = torch.cat([xm[:, 0::2, 0::2], xm[:, 1::2, 0::2],
+                    xm[:, 0::2, 1::2], xm[:, 1::2, 1::2]], -1) \
+        .view(B, -1, 4 * C)
+    xm = _ln(xm, sd, pre + ".norm", eps=1e-5)
+    xm = F.linear(xm, _t(sd, pre + ".reduction.weight"))
+    spa, chan = raw
+    _, nh, P, _, _ = spa.shape
+    spa = F.conv2d(spa.reshape(B, nh * P, H, W),
+                   _t(sd, pre + ".spa_attn_ds.weight"),
+                   _t(sd, pre + ".spa_attn_ds.bias"), stride=2, padding=1)
+    spa = spa.reshape(B, nh, P, H // 2, W // 2)
+    chan = chan.transpose(2, -1)
+    chan = F.linear(chan, _t(sd, pre + ".process_chan_attn.weight"))
+    chan = chan.transpose(2, -1)
+    prompts = F.linear(prompts, _t(sd, pre + ".task_prompts_up.weight"))
+    return xm, prompts, (spa, chan)
+
+
+def _oracle_swin_decode(sd, il, x, raw, H, W, tasks):
+    B, L, C = x.shape
+    xm = x.transpose(1, 2).reshape(B, C, H, W)
+    spa, chan = raw
+    out = {}
+    for ti, t in enumerate(tasks):
+        aw = spa[:, :, ti:ti + 1, :, :].reshape(B, -1, H, W)
+        nheads = aw.shape[1]
+        hc = C // nheads
+        parts = [aw[:, h:h + 1] * xm[:, hc * h:hc * (h + 1)]
+                 for h in range(nheads)]
+        f = torch.cat(parts, dim=1) + xm
+        if t != "3ddet":
+            f = F.interpolate(f, scale_factor=2, mode="bilinear",
+                              align_corners=False)
+        f = _conv(f, sd, f"backbone.fea_decode_spa.{il}.{t}.0")
+        cw = chan[:, ti][:, :, 0, 0]                 # (B, C)
+        fc = cw[:, :, None, None] * xm + xm
+        if t != "3ddet":
+            fc = F.interpolate(fc, scale_factor=2, mode="bilinear",
+                               align_corners=False)
+        fc = _conv(fc, sd, f"backbone.fea_decode_chan.{il}.{t}.0")
+        comb = torch.cat([f, fc], dim=1)
+        comb = _conv(comb, sd, f"backbone.fea_fuse.{il}.{t}.0")
+        comb = _conv(comb, sd, f"backbone.fea_fuse.{il}.{t}.1", padding=1)
+        comb = _bn_eval(comb, sd, f"backbone.fea_fuse.{il}.{t}.2")
+        comb = _gelu(comb)
+        out[t] = _conv(comb, sd, f"backbone.fea_fuse.{il}.{t}.4", padding=1)
+    return out
+
+
+def oracle_swin_backbone(sd, x_nchw, depths):
+    x = F.conv2d(torch.from_numpy(x_nchw),
+                 _t(sd, "backbone.patch_embed.proj.weight"),
+                 _t(sd, "backbone.patch_embed.proj.bias"), stride=4)
+    B, E, gh, gw = x.shape
+    x = x.flatten(2).transpose(1, 2)
+    x = _ln(x, sd, "backbone.patch_embed.norm", eps=1e-5)
+    prompts = _t(sd, "backbone.task_prompts")[None].expand(B, -1, -1)
+    res = (gh, gw)
+    raw = None
+    task_fea = {t: [] for t in S_TASKS}
+    for il in range(4):
+        C = E * 2 ** il
+        for d in range(depths[il]):
+            x, prompts, raw = _oracle_swin_block(
+                sd, f"backbone.layers.{il}.blocks.{d}", x, prompts,
+                res[0], res[1], S_HEADS[il], S_WINDOW,
+                0 if d % 2 == 0 else S_WINDOW // 2,
+                il == 3 and d == depths[il] - 1)
+        if il < 3:
+            x, prompts, raw = _oracle_swin_merge(
+                sd, f"backbone.layers.{il}.downsample", x, prompts, raw,
+                res[0], res[1])
+            res = (res[0] // 2, res[1] // 2)
+            fea = _oracle_swin_decode(sd, il, x, raw, res[0], res[1],
+                                      S_TASKS)
+        else:
+            x = _ln(x, sd, "backbone.norm", eps=1e-5)
+            fea = _oracle_swin_decode(sd, il, x, raw, res[0], res[1],
+                                      S_TASKS)
+        for t in S_TASKS:
+            task_fea[t].append(fea[t])
+    out = {}
+    for t in S_TASKS:
+        if t == "3ddet":
+            out[t] = task_fea[t]
+            continue
+        tgt = task_fea[t][0].shape[-2:]
+        s = sum(F.interpolate(f, tgt, mode="bilinear")
+                for f in task_fea[t])
+        out[t] = _conv(s, sd, f"backbone.multi_scale_fuse.{t}", padding=1)
+    return out
+
+
+class TestSwinParity:
+    def test_full_backbone_matches_reference_math(self):
+        import jax
+        import jax.numpy as jnp
+        from mtt_tpu.models.convert_torch import (apply_entries,
+                                                  map_taskprompter_swin)
+        from mtt_tpu.models.taskprompter_swin import TaskPrompterSwin
+        from mtt_tpu.models.wrappers import TaskPrompterSwinNet
+        from tests.test_convert_swin import NUM_OUT as S_NUM_OUT
+        from tests.test_cs3d_e2e import cs3d_tiny_config
+
+        rng = np.random.default_rng(11)
+        sd = make_swin_sd(rng, depths=S_DEPTHS)
+        x_nchw = rng.normal(size=(2, 3, 64, 128)).astype(np.float32) * 0.5
+
+        want = oracle_swin_backbone(sd, x_nchw, S_DEPTHS)
+
+        p = cs3d_tiny_config()
+        net = TaskPrompterSwinNet(
+            tasks=S_TASKS, num_outputs=S_NUM_OUT, tar_dim=S_TAR,
+            final_dim=S_FIN, chan_embed_dim=S_CHAN, det_cfg=p.det_cfg,
+            target_size=(32, 64), embed_dim=S_E, depths=S_DEPTHS,
+            num_heads=S_HEADS, window_size=S_WINDOW)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 128, 3), jnp.float32))
+        m = map_taskprompter_swin(
+            sd, list(S_TASKS), depths=S_DEPTHS, num_outs=5, stacked_convs=3,
+            cls_branch=(16, 8), reg_branch=((16,),) * 5, dir_branch=(16,),
+            centerness_branch=(16,), scale_dim=4, n_fpn_in=4)
+        conv = apply_entries(dict(variables), m)
+
+        backbone = TaskPrompterSwin(
+            tasks=S_TASKS, img_size=(64, 128), patch_size=4,
+            embed_dim=S_E, depths=S_DEPTHS, num_heads=S_HEADS,
+            window_size=S_WINDOW, chan_embed_dim=S_CHAN, tar_dim=S_TAR,
+            final_dim=S_FIN, drop_path_rate=0.0)
+        got = backbone.apply(
+            {"params": conv["params"]["backbone"],
+             "batch_stats": conv["batch_stats"]["backbone"]},
+            jnp.asarray(x_nchw.transpose(0, 2, 3, 1)), train=False)
+
+        for t in S_TASKS:
+            if t == "3ddet":
+                for lvl in range(4):
+                    w = want[t][lvl].numpy().transpose(0, 2, 3, 1)
+                    np.testing.assert_allclose(
+                        np.asarray(got[t][lvl]), w, atol=3e-4, rtol=3e-3,
+                        err_msg=f"3ddet level {lvl} diverges")
+            else:
+                w = want[t].numpy().transpose(0, 2, 3, 1)
+                np.testing.assert_allclose(
+                    np.asarray(got[t]), w, atol=3e-4, rtol=3e-3,
+                    err_msg=f"task {t} diverges from reference math")

@@ -49,7 +49,7 @@ def _ln(sd, key, c, rng):
     sd[key + ".bias"] = _rnd(rng, c)
 
 
-def make_swin_sd(rng):
+def make_swin_sd(rng, depths=DEPTHS):
     sd = {}
     T = len(TASKS)
     _conv(sd, "backbone.patch_embed.proj", 3, E, 4, rng)
@@ -61,7 +61,7 @@ def make_swin_sd(rng):
         H, W = RES[il]
         ws = min(WINDOW, H, W)
         px = H * W
-        for d in range(DEPTHS[il]):
+        for d in range(depths[il]):
             tb = f"backbone.layers.{il}.blocks.{d}"
             _ln(sd, tb + ".norm1", C, rng)
             _ln(sd, tb + ".norm2", C, rng)
@@ -74,7 +74,7 @@ def make_swin_sd(rng):
             _lin(sd, tb + ".token_trans", C, CHAN, rng)
             _lin(sd, tb + ".chan_q", CHAN, CHAN, rng)
             _lin(sd, tb + ".chan_kv", px, 2 * CHAN, rng)
-            last_block = il == 3 and d == DEPTHS[il] - 1
+            last_block = il == 3 and d == depths[il] - 1
             if not last_block:
                 _lin(sd, tb + ".chan_proj", CHAN, CHAN, rng)
                 _lin(sd, tb + ".token_trans1", CHAN, C, rng)
