@@ -105,6 +105,127 @@ def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
                 + part.reshape(sh, W4, n)).astype(o_ref.dtype)
 
 
+def _hmix_stencil_np(G: int):
+    """Decompose the height-mix matrix Sh[(h',k), H] into a 4-phase
+    interior stencil plus exact first/last-q border rows.
+
+    For H = 4q + p the bilinear4+conv composite draws h' = q + d with
+    d in {-1, 0, 1} and a coefficient c[p, k, d] independent of q except
+    at q in {0, G-1} where the upsample's edge behaviour differs. Returns
+    (c_int (4,3,3), cb0 (4,3,3) over h' 0..2, cb1 (4,3,3) over h'
+    G-3..G-1, ok) with ok=False when the stencil does not reproduce Sh
+    exactly (callers then fall back to the dot-based height mix)."""
+    import numpy as np
+    from mtt_tpu.models.layers import _up4_shift_stack_np
+    S = _up4_shift_stack_np(G)                 # (h', k, 4G)
+    if G < 6:
+        return None, None, None, False
+    q0 = G // 2
+    c_int = np.zeros((4, 3, 3), np.float32)
+    for p in range(4):
+        for k in range(3):
+            for di, d in enumerate((-1, 0, 1)):
+                c_int[p, k, di] = S[q0 + d, k, 4 * q0 + p]
+    cb0 = np.zeros((4, 3, 3), np.float32)
+    cb1 = np.zeros((4, 3, 3), np.float32)
+    for p in range(4):
+        for k in range(3):
+            cb0[p, k] = S[0:3, k, p]
+            cb1[p, k] = S[G - 3:G, k, 4 * (G - 1) + p]
+    # validate: rebuild S from the stencil
+    R = np.zeros_like(S)
+    for p in range(4):
+        for k in range(3):
+            for q in range(1, G - 1):
+                for di, d in enumerate((-1, 0, 1)):
+                    hp = q + d
+                    if 0 <= hp < G:
+                        R[hp, k, 4 * q + p] += c_int[p, k, di]
+            R[0:3, k, p] = cb0[p, k]
+            R[G - 3:G, k, 4 * (G - 1) + p] = cb1[p, k]
+    ok = bool(np.abs(R - S).max() < 1e-6)
+    return c_int, cb0, cb1, ok
+
+
+def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
+                         kp_ref, o_ref, gm_ref, bk_ref, *, n: int, C: int,
+                         G: int, c_int, cb0, cb1):
+    """Stencil variant of the height mix: the 12 dim0-contracting Mosaic
+    dots (internal relayouts, ~1.2 ms/head) become ~30 VPU slab
+    multiply-adds on outer-dim-shifted Bk slabs; output is phase-major
+    (p, q, W, ds) so the 1x1 rows flatten for free."""
+    j = pl.program_id(1)
+    W4 = 4 * G
+    hc = max(G // 4, 1)
+    rc = hc * G
+
+    def _gm_chunk(i, carry):
+        xr = x_ref[0, pl.ds(i * hc, hc)].reshape(rc, C)
+        ch = jax.lax.dot_general(xr, wf_ref[...],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        gm_ref[pl.ds(i * rc, rc)] = ch.astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, G // hc, _gm_chunk, 0)
+    gm = gm_ref[...].reshape(G, G, 9 * 128)
+    swb = [jnp.broadcast_to(swt_ref[l][None], (G, W4, G)) for l in range(3)]
+    for k in range(3):
+        acc = jnp.zeros((G, W4, 128), jnp.float32)
+        for l in range(3):
+            a_kl = gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+            acc += jax.lax.dot_general(
+                swb[l], a_kl, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        bk_ref[k] = acc.astype(jnp.bfloat16)          # (h', W, ds)
+    ivec = inv_ref[0]
+    avec = addv_ref[0]
+    for p in range(4):
+        y = jnp.zeros((G, W4, 128), jnp.float32)
+        for k in range(3):
+            bk_k = bk_ref[k].astype(jnp.float32)      # (G, W, ds)
+            for di, d in enumerate((-1, 0, 1)):
+                c = float(c_int[p, k, di])
+                if abs(c) < 1e-12:
+                    continue
+                # y[q] += c * bk_k[q + d]: shift along the OUTER dim via
+                # slice + zero-row concat (scatter-add has no Mosaic
+                # lowering); border rows q=0/G-1 are overwritten below
+                z = jnp.zeros((1, W4, 128), jnp.float32)
+                if d == 0:
+                    y = y + c * bk_k
+                elif d == 1:
+                    y = y + c * jnp.concatenate([bk_k[1:], z], axis=0)
+                else:
+                    y = y + c * jnp.concatenate([z, bk_k[:G - 1]], axis=0)
+        row0 = jnp.zeros((1, W4, 128), jnp.float32)
+        rowl = jnp.zeros((1, W4, 128), jnp.float32)
+        for k in range(3):
+            for hi in range(3):
+                c0 = float(cb0[p, k, hi])
+                cl = float(cb1[p, k, hi])
+                if abs(c0) > 1e-12:
+                    row0 = row0 + c0 * bk_ref[k, hi:hi + 1].astype(
+                        jnp.float32)
+                if abs(cl) > 1e-12:
+                    rowl = rowl + cl * bk_ref[k, G - 3 + hi:G - 2 + hi] \
+                        .astype(jnp.float32)
+        y = jnp.concatenate([row0, y[1:G - 1], rowl], axis=0)
+        t = _gelu_erf_poly(y * ivec[None, None, :] + avec[None, None, :])
+        tv = t.astype(jnp.bfloat16).reshape(G * W4, 128)
+        part = jax.lax.dot_general(tv, kp_ref[...], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[0, p] = part.reshape(G, W4, n).astype(o_ref.dtype)
+
+        @pl.when(j != 0)
+        def _():
+            o_ref[0, p] = (o_ref[0, p].astype(jnp.float32)
+                           + part.reshape(G, W4, n)).astype(o_ref.dtype)
+
+
 def _head_pallas(x, kc, inv, addv, kp, interpret=False):
     B, G, G2, C = x.shape
     n = kp.shape[-1]
@@ -130,6 +251,31 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
     scratch = [pltpu.VMEM((G * G, 1152), jnp.bfloat16),
                pltpu.VMEM((3, G, W4, 128), jnp.bfloat16)] \
         if pltpu is not None else [None, None]
+    import os
+    c_int, cb0, cb1, st_ok = _hmix_stencil_np(G)
+    if st_ok and os.environ.get("MTT_HEAD_S2", "stencil") == "stencil":
+        out = pl.pallas_call(
+            functools.partial(_head_kernel_stencil, n=n, C=C, G=G,
+                              c_int=c_int, cb0=cb0, cb1=cb1),
+            out_shape=jax.ShapeDtypeStruct((B, 4, G, W4, n), jnp.bfloat16),
+            grid=(B, nj),
+            in_specs=[
+                pl.BlockSpec((1, G, G, C), lambda b, j: (b, 0, 0, 0)),
+                pl.BlockSpec((C, 1152), lambda b, j: (0, j)),
+                pl.BlockSpec((3, W4, G), lambda b, j: (0, 0, 0)),
+                pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+                pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+                pl.BlockSpec((128, n), lambda b, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 4, G, W4, n),
+                                   lambda b, j: (b, 0, 0, 0, 0)),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **kwargs,
+        )(x, Wf, swt, invp, addvp, kpp)
+        # phase-major (B, p, q, W, n) -> (B, 4q+p = H, W, n)
+        out = out.transpose(0, 2, 1, 3, 4).reshape(B, W4, W4, n)
+        return out.astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_head_kernel, n=n, C=C, G=G, n_strips=8),
         out_shape=jax.ShapeDtypeStruct((B, W4, W4, n), jnp.bfloat16),
