@@ -32,6 +32,32 @@ from mtt_tpu.models.layers import (ConvBNAct, DropPath, FusedLN, Mlp,
                                    interpolate, trunc_normal, upsample2x)
 
 
+class _MtProjParams(nn.Module):
+    """ConvBNAct-layout parameters (conv kernel only — use_bias=False —
+    plus nn.BatchNorm scale/bias and running-stat Variables) without
+    computing, so the mt_proj tail can branch between the dense train
+    path and the factored eval path with an identical checkpoint tree."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        class _K(nn.Module):
+            features: int
+            in_features: int
+
+            @nn.compact
+            def __call__(self):
+                return self.param(
+                    "kernel", nn.initializers.lecun_normal(),
+                    (3, 3, self.in_features, self.features))
+
+        from mtt_tpu.models.heads import _BNParams
+        k = _K(self.features, self.in_features, name="conv")()
+        gamma, beta, mean, var = _BNParams(self.features, name="bn")()
+        return k, gamma, beta, mean, var
+
+
 def _flatten_tasks(x):  # (B,T,H,W,C) -> (B, T*H*W, C)
     B, T, H, W, C = x.shape
     return x.reshape(B, T * H * W, C)
@@ -260,7 +286,7 @@ class InvPTDecoder(nn.Module):
 
         th, tw = 8 * h0, 8 * w0
         message = None
-        acc = {t: 0.0 for t in self.tasks}
+        stage_tx: Dict[str, List] = {t: [] for t in self.tasks}
 
         for i in range(3):
             if i > 0:
@@ -284,10 +310,62 @@ class InvPTDecoder(nn.Module):
                 if i > 0:  # redu_chan only for stages past the first (invpt.py:535-536)
                     tx = nn.Conv(D, (1, 1), dtype=self.dtype,
                                  name=f"redu_chan_{i}_{t}")(tx)
-                acc[t] = acc[t] + interpolate(tx, (th, tw), "bilinear")
+                stage_tx[t].append(tx)
 
+        # mt_proj tail: conv3x3 + BN + ReLU on the multi-scale sum
+        # (ref invpt.py:530-543). A factored eval path exists (the conv
+        # distributes over the sum; each term contracts channels at the
+        # LOW stage resolution via layers.upf_conv3x3_factored, ~3x fewer
+        # FLOPs) but LOSES on TPU: it materialises three f32 channel-major
+        # (B, D, tw, th) accumulator terms per task (~150 MB each) and the
+        # dense conv already runs at 169 TF/s — measured 68.7 vs 81.4
+        # imgs/s at bench shapes. Kept behind MTT_INVPT_FACTORED=1 as the
+        # starting point for an in-VMEM (Pallas) multi-scale tail.
+        import os
+        factored = (not train) \
+            and os.environ.get("MTT_INVPT_FACTORED", "0") not in ("", "0") \
+            and all(
+                th % f.shape[1] == 0 and tw % f.shape[2] == 0
+                and th // f.shape[1] == tw // f.shape[2]
+                for fs in stage_tx.values() for f in fs)
+        from mtt_tpu.models.layers import upf_conv3x3_factored
         out = {}
         for t in self.tasks:
-            out[t] = ConvBNAct(D, (3, 3), dtype=self.dtype,
-                               name=f"mt_proj_{t}")(acc[t], train=train)
+            kc, gamma, beta, ra_mean, ra_var = _MtProjParams(
+                D, D, name=f"mt_proj_{t}")()
+            if factored:
+                Y = 0.0
+                for txi in stage_tx[t]:
+                    Y = Y + upf_conv3x3_factored(txi, kc,
+                                                 th // txi.shape[1])
+                m, v = (ra_mean.value.astype(jnp.float32),
+                        ra_var.value.astype(jnp.float32))
+                inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+                addv = beta.astype(jnp.float32) - m * inv
+                y = nn.relu(Y * inv[None, :, None, None]
+                            + addv[None, :, None, None])
+                out[t] = y.transpose(0, 3, 2, 1).astype(self.dtype)
+            else:
+                acc = 0.0
+                for txi in stage_tx[t]:
+                    acc = acc + interpolate(txi, (th, tw), "bilinear")
+                xc = jax.lax.conv_general_dilated(
+                    acc.astype(self.dtype), kc.astype(self.dtype),
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                xf = xc.astype(jnp.float32)
+                if train:
+                    m = xf.mean(axis=(0, 1, 2))
+                    xcn = xf - m
+                    v = (xcn * xcn).mean(axis=(0, 1, 2))
+                    if not self.is_initializing():
+                        # nn.BatchNorm running-average (momentum 0.9)
+                        ra_mean.value = 0.9 * ra_mean.value + 0.1 * m
+                        ra_var.value = 0.9 * ra_var.value + 0.1 * v
+                else:
+                    m, v = (ra_mean.value.astype(jnp.float32),
+                            ra_var.value.astype(jnp.float32))
+                inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+                y = nn.relu(xf * inv + (beta.astype(jnp.float32) - m * inv))
+                out[t] = y.astype(self.dtype)
         return out, inter_preds

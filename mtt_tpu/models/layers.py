@@ -504,33 +504,38 @@ def depth_to_space4(y, channels: int):
     return y.reshape(B, 4 * gh, 4 * gw, channels)
 
 
-@_functools.lru_cache(maxsize=32)
-def _up4_shift_stack_np(g: int):
-    """(g, 3, 4g) stacked shifted-upsample mix matrices: entry [w, l, W]
+@_functools.lru_cache(maxsize=64)
+def _upf_shift_stack_np(g: int, f: int):
+    """(g, 3, f*g) stacked shifted-upsample mix matrices: entry [w, l, W]
     is the weight with which low-res column w contributes to high-res
     output column W through conv tap l (l-1 = tap offset). Shifted rows
-    of the 4x bilinear matrix; out-of-range rows are zero, which encodes
+    of the f-x bilinear matrix; out-of-range rows are zero, which encodes
     the conv's SAME zero padding EXACTLY (no border fixups needed)."""
-    U = _linear_resize_matrix(g, 4 * g)              # (4g, g)
-    S = _np.zeros((3, 4 * g, g), _np.float32)
+    U = _linear_resize_matrix(g, f * g)              # (fg, g)
+    S = _np.zeros((3, f * g, g), _np.float32)
     for k in range(3):
         d = k - 1
-        lo, hi = max(0, -d), min(4 * g, 4 * g - d)
+        lo, hi = max(0, -d), min(f * g, f * g - d)
         S[k, lo:hi] = U[lo + d:hi + d]
-    return S.transpose(2, 0, 1).copy()               # (g, 3, 4g)
+    return S.transpose(2, 0, 1).copy()               # (g, 3, fg)
 
 
-def up4_conv3x3_factored(x, kernel):
-    """Exact conv3x3-SAME(bilinear_upsample4(x)) with the channel
+def _up4_shift_stack_np(g: int):
+    return _upf_shift_stack_np(g, 4)
+
+
+def upf_conv3x3_factored(x, kernel, f: int = 4):
+    """Exact conv3x3-SAME(bilinear_upsample_f(x)) with the channel
     contraction at LOW resolution. conv and upsample are both linear, so
     the composite factors: Y = sum_{k,l} Sh[k] (x @ W[k,l]) Sw[l]^T with
-    Sh/Sw the shifted 4x-upsample matrices (see _up4_shift_stack_np).
-    FLOPs at bench shapes: 33 GF vs 289 GF for the dense composite (8.7x
-    fewer — the 9 channel matmuls run on the 16x-smaller low-res map and
-    the spatial mixes are K=3g rank). Measured 0.61 ms vs 2.55 ms per
-    task end-to-end on v5e (tools/proto_head_factored.py lineage).
+    Sh/Sw the shifted f-x-upsample matrices (see _upf_shift_stack_np).
+    FLOPs at up4 bench shapes: 33 GF vs 289 GF for the dense composite
+    (8.7x fewer — the 9 channel matmuls run on the f^2-x-smaller low-res
+    map and the spatial mixes are K=3g rank). Measured 0.61 vs 2.55
+    ms/task on v5e (tools/proto_head_factored.py lineage). f=1 degrades
+    to a plain (factored) conv3x3 and is still exact.
 
-    Returns CHANNEL-MAJOR (B, Cout, W4, H4) f32 — the layout the two
+    Returns CHANNEL-MAJOR (B, Cout, Wf, Hf) f32 — the layout the two
     spatial-mix dot_generals emit; callers run the pointwise epilogue
     (bias/BN/act) along axis 1 and transpose only their tiny logit map.
     """
@@ -542,11 +547,15 @@ def up4_conv3x3_factored(x, kernel):
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     G6 = Gm.astype(dt).reshape(B, gh, gw, 3, 3, D)   # b h w k l d
-    Sw = jnp.asarray(_up4_shift_stack_np(gw), dt)    # (w, l, W4)
-    Sh = jnp.asarray(_up4_shift_stack_np(gh), dt)    # (h, k, H4)
+    Sw = jnp.asarray(_upf_shift_stack_np(gw, f), dt)  # (w, l, Wf)
+    Sh = jnp.asarray(_upf_shift_stack_np(gh, f), dt)  # (h, k, Hf)
     M = jax.lax.dot_general(G6, Sw, (((2, 4), (0, 1)), ((), ())),
                             preferred_element_type=jnp.float32).astype(dt)
-    # (B, h, k, d, W4)
+    # (B, h, k, d, Wf)
     Y = jax.lax.dot_general(M, Sh, (((1, 2), (0, 1)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return Y                                         # (B, d, W4, H4) f32
+    return Y                                         # (B, d, Wf, Hf) f32
+
+
+def up4_conv3x3_factored(x, kernel):
+    return upf_conv3x3_factored(x, kernel, 4)

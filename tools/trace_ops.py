@@ -22,17 +22,22 @@ def capture(tdir: str, steps: int):
     import jax.numpy as jnp
     from mtt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from mtt_tpu.models.wrappers import TaskPrompterNet
+    from mtt_tpu.models.wrappers import TaskPrompterNet, TransformerNet
 
     tasks = ("semseg", "human_parts", "sal", "edge", "normals")
     num_out = {"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
                "normals": 3}
-    model = TaskPrompterNet(
-        tasks=tasks, num_outputs=num_out,
-        backbone_name=os.environ.get("MTT_BENCH_BACKBONE",
-                                     "TaskPrompter_vitL"),
-        tar_dim=300, final_dim=350, use_ctr=True, chan_nheads=1,
-        dtype=jnp.bfloat16)
+    if os.environ.get("MTT_BENCH_MODEL") == "invpt":
+        model = TransformerNet(
+            tasks=tasks, num_outputs=num_out, backbone_name="vitL",
+            embed_dim=512, pred_out=64, dtype=jnp.bfloat16)
+    else:
+        model = TaskPrompterNet(
+            tasks=tasks, num_outputs=num_out,
+            backbone_name=os.environ.get("MTT_BENCH_BACKBONE",
+                                         "TaskPrompter_vitL"),
+            tar_dim=300, final_dim=350, use_ctr=True, chan_nheads=1,
+            dtype=jnp.bfloat16)
     x = jnp.zeros((int(os.environ.get("MTT_BENCH_BATCH", "8")),
                    512, 512, 3), jnp.float32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
