@@ -46,30 +46,24 @@ def _gt_objects_from_batch(batch, i) -> list:
     return out
 
 
-def evaluate_detection(p, trainer, state, val_loader,
-                       save_dir: Optional[str] = None) -> Dict:
-    """Full 3D-det eval pass. Returns the Box3dEvaluator result dict
-    (mDS / mAP / per-class DDTP metrics)."""
-    from mtt_tpu.data.loader import device_put_batch
+class DetRecordAccumulator:
+    """Per-image detection record builder for the single-pass eval: the
+    caller feeds it the 3ddet head outputs already computed by the shared
+    test-phase forward (one forward per val image per eval — r2 weak #5
+    was a second full pass here) plus the host batch; ``evaluate`` merges
+    records across processes and scores once.
+    """
 
-    det_cfg = p.det_cfg
-    strides = tuple(det_cfg["strides"])
+    def __init__(self, p, save_dir: Optional[str] = None):
+        det_cfg = p.det_cfg
+        strides = tuple(det_cfg["strides"])
+        self._decode = jax.jit(lambda head_i, K: decode_bboxes_single(
+            head_i, K, det_cfg, strides))
+        self.save_dir = save_dir
+        self.records = []
 
-    @jax.jit
-    def fwd(state, image):
-        out = trainer.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            image, train=False)
-        return out["3ddet"]
-
-    decode = jax.jit(lambda head_i, K: decode_bboxes_single(
-        head_i, K, det_cfg, strides))
-
-    ev = Box3dEvaluator(EVAL_LABELS,
-                        min_iou=0.7)
-    for batch in val_loader:
-        dev = device_put_batch({"image": batch["image"]})
-        cls, bbox, dirp, ctr = fwd(state, dev["image"])
+    def add_batch(self, head_out, batch):
+        cls, bbox, dirp, ctr = head_out
         B = batch["image"].shape[0]
         for i in range(B):
             meta = batch["meta"][i]
@@ -78,13 +72,81 @@ def evaluate_detection(p, trainer, state, val_loader,
             K = np.asarray(meta["K_matrix"], np.float32)
             head_i = ([c[i] for c in cls], [b[i] for b in bbox],
                       [d[i] for d in dirp], [c[i] for c in ctr])
-            dec = jax.device_get(decode(head_i, K))
+            dec = jax.device_get(self._decode(head_i, K))
             objs = bbox_to_json_objects(dec["boxes3d"], dec["bboxes2d"],
                                         dec["scores"], dec["labels"],
                                         dec["valid"], meta["camera"])
-            if save_dir is not None:
-                save_image_predictions(os.path.join(save_dir, "3ddet"),
+            if self.save_dir is not None:
+                save_image_predictions(os.path.join(self.save_dir, "3ddet"),
                                        meta["img_name"], objs)
-            ev.add_image(meta["img_name"], _gt_objects_from_batch(batch, i),
-                         objs)
-    return ev.evaluate()
+            self.records.append(
+                (meta["img_name"], _gt_objects_from_batch(batch, i), objs))
+
+    def evaluate(self) -> Dict:
+        """Merge per-process records and score. With nproc > 1 every
+        process writes its shard's records to a shared directory, process
+        0 scores the union (reference rank-0 file-based eval,
+        TaskPrompter/utils/test_utils.py:47-52) and the headline scalars
+        are broadcast so every process reports the same merged mDS."""
+        import json as _json
+
+        nproc = jax.process_count()
+        if nproc == 1:
+            return self._score(self.records)
+
+        from jax.experimental import multihost_utils
+        merge_dir = self.save_dir or os.environ.get("MTT_DET_MERGE_DIR")
+        if merge_dir is None:
+            raise ValueError(
+                "multi-process detection eval needs a shared save_dir "
+                "(or MTT_DET_MERGE_DIR) to merge per-shard records")
+        rec_dir = os.path.join(merge_dir, "det_records")
+        os.makedirs(rec_dir, exist_ok=True)
+        with open(os.path.join(rec_dir,
+                               f"rank{jax.process_index()}.json"), "w") as f:
+            _json.dump(self.records, f)
+        multihost_utils.sync_global_devices("det_record_merge")
+        scores = None
+        if jax.process_index() == 0:
+            merged = []
+            for r in range(nproc):
+                with open(os.path.join(rec_dir, f"rank{r}.json")) as f:
+                    merged.extend(_json.load(f))
+            scores = self._score(merged)
+        import jax.numpy as jnp
+        vals = jnp.zeros((2,), jnp.float32) if scores is None else \
+            jnp.asarray([scores["mDetection_Score"], scores["mAP"]],
+                        jnp.float32)
+        vals = multihost_utils.broadcast_one_to_all(vals)
+        if scores is None:
+            scores = {"mDetection_Score": float(vals[0]),
+                      "mAP": float(vals[1]), "merged_on_process": 0}
+        return scores
+
+    @staticmethod
+    def _score(records) -> Dict:
+        ev = Box3dEvaluator(EVAL_LABELS, min_iou=0.7)
+        for name, gt, pred in records:
+            ev.add_image(name, gt, pred)
+        return ev.evaluate()
+
+
+def evaluate_detection(p, trainer, state, val_loader,
+                       save_dir: Optional[str] = None) -> Dict:
+    """Standalone full 3D-det eval pass (own forward over the loader).
+    Training-time evals use DetRecordAccumulator inside test_phase
+    instead — one shared forward per image."""
+    from mtt_tpu.data.loader import device_put_batch
+
+    @jax.jit
+    def fwd(state, image):
+        out = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            image, train=False)
+        return out["3ddet"]
+
+    acc = DetRecordAccumulator(p, save_dir)
+    for batch in val_loader:
+        dev = device_put_batch({"image": batch["image"]})
+        acc.add_batch(fwd(state, dev["image"]), batch)
+    return acc.evaluate()

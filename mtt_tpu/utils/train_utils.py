@@ -91,7 +91,9 @@ def make_eval_step(model, meter: PerformanceMeter, tasks):
             batch["image"], train=False)
         processed = {t: get_output(out[t], t) for t in meter.tasks}
         new_states = meter.update_states(meter_states, processed, batch)
-        return processed, new_states
+        # 3ddet head outputs ride along so test_phase can decode
+        # detections from the SAME forward (no second eval pass)
+        return processed, new_states, out.get("3ddet")
 
     return step_fn
 
@@ -247,10 +249,19 @@ def test_phase(p, trainer: Trainer, state, val_loader,
 
     trainer.meter.reset()
     states = trainer.meter.states
+    det_acc = None
+    if "3ddet" in getattr(p.TASKS, "NAMES", ()):
+        from mtt_tpu.detection.det_eval import DetRecordAccumulator
+        det_acc = DetRecordAccumulator(p, save_dir=p.get("save_dir"))
     for batch in val_loader:
         dev = device_put_batch(batch, trainer.data_sharding)
-        processed, states = trainer._eval_step(
+        processed, states, det_out = trainer._eval_step(
             state, trainer._arrays_only(dev), states)
+        if det_acc is not None and det_out is not None:
+            # detections decode from the SAME forward as the 2D meters
+            # (reference runs one shared test_phase forward too; r2 weak
+            # #5 was a second full pass here)
+            det_acc.add_batch(det_out, batch)
         if save_tasks:
             for t in save_tasks:
                 if t in processed and "meta" in batch:
@@ -262,10 +273,8 @@ def test_phase(p, trainer: Trainer, state, val_loader,
     # the reference appends the official Cityscapes 3D-det evaluation to
     # EVERY test_phase during training (TaskPrompter/utils/test_utils.py:47-52)
     # so mDS is reported at each val interval, not only in infer mode
-    if "3ddet" in getattr(p.TASKS, "NAMES", ()):
-        from mtt_tpu.detection.det_eval import evaluate_detection
-        det = evaluate_detection(p, trainer, state, val_loader,
-                                 save_dir=p.get("save_dir"))
+    if det_acc is not None:
+        det = det_acc.evaluate()
         scores["3ddet"] = {"mDetection_Score": det["mDetection_Score"],
                            "mAP": det["mAP"]}
     return scores

@@ -127,6 +127,12 @@ def main():
     args = ap.parse_args()
 
     results = {}
+    if os.path.isfile(args.out):   # merge: --skip runs keep prior entries
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
     jobs = [
         ("taskprompter_vitL", lambda: run_bench_py({})),
         ("taskprompter_vitB", lambda: run_bench_py(
