@@ -1,0 +1,24 @@
+"""Real 2-process jax.distributed run (tools/run_multiprocess.py):
+process-sharded loaders, cross-process GSPMD train step, globally
+merged detection eval. Spawns separate OS processes — ~2 min."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_pipeline(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_multiprocess.py"),
+         "--out-dir", str(tmp_path), "--port", "53411"],
+        capture_output=True, text=True, timeout=560,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
+    assert out.returncode == 0, out.stderr[-3000:]
+    with open(os.path.join(REPO, "MULTIPROC_RUN.json")) as f:
+        art = json.load(f)
+    assert art["process_count"] == 2
+    assert art["merged_det_records"] == 6
