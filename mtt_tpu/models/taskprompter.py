@@ -118,8 +118,10 @@ class PromptedBlock(nn.Module):
                            name="token_trans1")(chan_prompts)
         # fold the prompt-only channel-path update into the same residual
         # branch (reference adds it inside Attention.forward before the
-        # drop_path residual, taskprompter.py:250,273)
-        out = out.at[:, :P].add(p_extra)
+        # drop_path residual, taskprompter.py:250,273); zero-padded add
+        # fuses elementwise where .at[:, :P].add would DUS-copy the
+        # whole (B, M, C) tensor
+        out = out + jnp.pad(p_extra, ((0, 0), (0, M - P), (0, 0)))
 
         raw = None
         if need_taps:

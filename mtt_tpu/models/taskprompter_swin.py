@@ -131,12 +131,17 @@ class SwinPromptBlock(nn.Module):
                           ((2 * ws - 1) * (2 * ws - 1), Hd))
         rpi = relative_position_index(ws)
         bias = rpbt[rpi.reshape(-1)].reshape(N, N, Hd).transpose(2, 0, 1)
-        attn = attn.at[:, :, P:, P:].add(bias[None])
+        # bias/mask apply only to the patch-patch block; pad with zero
+        # prompt rows/cols and add elementwise — an .at[P:, P:].add would
+        # lower to a dynamic-update-slice that COPIES the whole attention
+        # tensor (354 MB/block at CS3D shapes; 61 ms/step measured)
+        bias_f = jnp.pad(bias, ((0, 0), (P, 0), (P, 0)))
+        attn = attn + bias_f[None]
 
         if shift > 0:
             m = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))  # (nW,N,N)
-            m_full = jnp.tile(m, (B, 1, 1))
-            attn = attn.at[:, :, P:, P:].add(m_full[:, None])
+            m_f = jnp.pad(m, ((0, 0), (P, 0), (P, 0)))
+            attn = attn + jnp.tile(m_f, (B, 1, 1))[:, None]
 
         probs = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(-1, P + N, C)

@@ -27,6 +27,34 @@ def capture(tdir: str, steps: int):
     tasks = ("semseg", "human_parts", "sal", "edge", "normals")
     num_out = {"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
                "normals": 3}
+    if os.environ.get("MTT_BENCH_MODEL") == "swin":
+        from mtt_tpu.config import create_config
+        from mtt_tpu.models.wrappers import build_model
+        p = create_config(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs/cityscapes3d/taskprompter_swinB.yml"),
+            {"run_mode": "infer"})
+        model = build_model(p, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+        v = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False)
+        v = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                         if hasattr(a, "dtype") and a.dtype == jnp.float32
+                         else a, v)
+
+        @jax.jit
+        def fwd(v, inp):
+            out = model.apply(v, inp, train=False)
+            return jnp.float32(sum(jnp.sum(l.astype(jnp.float32))
+                                   for l in jax.tree.leaves(out)))
+
+        float(jax.device_get(fwd(v, x)))
+        jax.profiler.start_trace(tdir)
+        for _ in range(steps):
+            r = fwd(v, x)
+        float(jax.device_get(r))
+        jax.profiler.stop_trace()
+        return
     if os.environ.get("MTT_BENCH_MODEL") == "invpt":
         model = TransformerNet(
             tasks=tasks, num_outputs=num_out, backbone_name="vitL",
