@@ -226,6 +226,107 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
                            + part.reshape(G, W4, n)).astype(o_ref.dtype)
 
 
+def _head_kernel_stencil2(x_ref, wf_ref, inv_ref, addv_ref, kp_ref, o_ref,
+                          gm_ref, bk_ref, *, n: int, C: int, G: int,
+                          c_int, cb0, cb1):
+    """Both spatial mixes as phase-major stencils: the width mix becomes
+    ~30 sublane-rolled slab multiply-adds per channel chunk (instead of 9
+    h'-batched Mosaic dots at 25% MXU) and the height mix the outer-dim
+    stencil of _head_kernel_stencil; everything stays phase-major
+    (ph, px, qh, qw) so only a small logits transpose runs in XLA."""
+    j = pl.program_id(1)
+    hc = max(G // 4, 1)
+    rc = hc * G
+
+    def _gm_chunk(i, carry):
+        xr = x_ref[0, pl.ds(i * hc, hc)].reshape(rc, C)
+        ch = jax.lax.dot_general(xr, wf_ref[...],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        gm_ref[pl.ds(i * rc, rc)] = ch.astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, G // hc, _gm_chunk, 0)
+    gm = gm_ref[...].reshape(G, G, 9 * 128)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
+    # width-mix stencil -> bk[k, px] = (h', qw, ds)
+    for k in range(3):
+        a_k = [gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+               .astype(jnp.float32) for l in range(3)]
+        for px in range(4):
+            acc = jnp.zeros((G, G, 128), jnp.float32)
+            for l in range(3):
+                for di, d in enumerate((-1, 0, 1)):
+                    c = float(c_int[px, l, di])
+                    if abs(c) < 1e-12:
+                        continue
+                    # acc[:, qw] += c * a[:, qw + d]; circular wrap only
+                    # touches the border columns, overwritten below
+                    # (pltpu.roll wants a non-negative shift)
+                    acc = acc + c * pltpu.roll(a_k[l], (-d) % G, 1)
+            b0 = jnp.zeros((G, 1, 128), jnp.float32)
+            bl = jnp.zeros((G, 1, 128), jnp.float32)
+            for l in range(3):
+                for hi in range(3):
+                    c0 = float(cb0[px, l, hi])
+                    cl = float(cb1[px, l, hi])
+                    if abs(c0) > 1e-12:
+                        b0 = b0 + c0 * a_k[l][:, hi:hi + 1]
+                    if abs(cl) > 1e-12:
+                        bl = bl + cl * a_k[l][:, G - 3 + hi:G - 2 + hi]
+            acc = jnp.where(col == 0, b0, acc)
+            acc = jnp.where(col == G - 1, bl, acc)
+            bk_ref[k, px] = acc.astype(jnp.bfloat16)
+    ivec = inv_ref[0]
+    avec = addv_ref[0]
+    for ph in range(4):
+        for px in range(4):
+            y = jnp.zeros((G, G, 128), jnp.float32)
+            for k in range(3):
+                bkk = bk_ref[k, px].astype(jnp.float32)
+                for di, d in enumerate((-1, 0, 1)):
+                    c = float(c_int[ph, k, di])
+                    if abs(c) < 1e-12:
+                        continue
+                    z = jnp.zeros((1, G, 128), jnp.float32)
+                    if d == 0:
+                        y = y + c * bkk
+                    elif d == 1:
+                        y = y + c * jnp.concatenate([bkk[1:], z], axis=0)
+                    else:
+                        y = y + c * jnp.concatenate([z, bkk[:G - 1]], axis=0)
+            row0 = jnp.zeros((1, G, 128), jnp.float32)
+            rowl = jnp.zeros((1, G, 128), jnp.float32)
+            for k in range(3):
+                for hi in range(3):
+                    c0 = float(cb0[ph, k, hi])
+                    cl = float(cb1[ph, k, hi])
+                    if abs(c0) > 1e-12:
+                        row0 = row0 + c0 * bk_ref[k, px, hi:hi + 1] \
+                            .astype(jnp.float32)
+                    if abs(cl) > 1e-12:
+                        rowl = rowl + cl * \
+                            bk_ref[k, px, G - 3 + hi:G - 2 + hi] \
+                            .astype(jnp.float32)
+            y = jnp.concatenate([row0, y[1:G - 1], rowl], axis=0)
+            t = _gelu_erf_poly(y * ivec[None, None, :]
+                               + avec[None, None, :])
+            tv = t.astype(jnp.bfloat16).reshape(G * G, 128)
+            part = jax.lax.dot_general(tv, kp_ref[...],
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+            @pl.when(j == 0)
+            def _():
+                o_ref[0, ph, px] = part.reshape(G, G, n).astype(o_ref.dtype)
+
+            @pl.when(j != 0)
+            def _():
+                o_ref[0, ph, px] = (
+                    o_ref[0, ph, px].astype(jnp.float32)
+                    + part.reshape(G, G, n)).astype(o_ref.dtype)
+
+
 def _head_pallas(x, kc, inv, addv, kp, interpret=False):
     B, G, G2, C = x.shape
     n = kp.shape[-1]
@@ -253,7 +354,37 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
         if pltpu is not None else [None, None]
     import os
     c_int, cb0, cb1, st_ok = _hmix_stencil_np(G)
-    if st_ok and os.environ.get("MTT_HEAD_S2", "stencil") == "stencil":
+    # "stencil" (H-mix stencil, W-mix batched dots) measures fastest:
+    # 141.4 imgs/s headline vs 138.2 for "stencil2" (both mixes as
+    # stencils — the sublane pltpu.rolls of the width pass cost more than
+    # the 25%-MXU batched dots they replace) vs 134.4 for "dots".
+    s2 = os.environ.get("MTT_HEAD_S2", "stencil")
+    if st_ok and s2 == "stencil2":
+        out = pl.pallas_call(
+            functools.partial(_head_kernel_stencil2, n=n, C=C, G=G,
+                              c_int=c_int, cb0=cb0, cb1=cb1),
+            out_shape=jax.ShapeDtypeStruct((B, 4, 4, G, G, n),
+                                           jnp.bfloat16),
+            grid=(B, nj),
+            in_specs=[
+                pl.BlockSpec((1, G, G, C), lambda b, j: (b, 0, 0, 0)),
+                pl.BlockSpec((C, 1152), lambda b, j: (0, j)),
+                pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+                pl.BlockSpec((1, 128), lambda b, j: (0, j)),
+                pl.BlockSpec((128, n), lambda b, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 4, 4, G, G, n),
+                                   lambda b, j: (b, 0, 0, 0, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((G * G, 1152), jnp.bfloat16),
+                            pltpu.VMEM((3, 4, G, G, 128), jnp.bfloat16)]
+            if pltpu is not None else [None, None],
+            interpret=interpret,
+            **kwargs,
+        )(x, Wf, invp, addvp, kpp)
+        # phase-major (B, ph, px, qh, qw, n) -> (B, 4qh+ph, 4qw+px, n)
+        out = out.transpose(0, 3, 1, 4, 2, 5).reshape(B, W4, W4, n)
+        return out.astype(jnp.float32)
+    if st_ok and s2 == "stencil":
         out = pl.pallas_call(
             functools.partial(_head_kernel_stencil, n=n, C=C, G=G,
                               c_int=c_int, cb0=cb0, cb1=cb1),

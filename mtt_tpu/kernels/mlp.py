@@ -40,7 +40,12 @@ def _gelu_erf_poly(h):
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
-                *, nsub: int):
+                *, nsub: int, sub: int, block_h: int):
+    """Hidden-block MLP cell, software-pipelined in ``sub`` chunks: the
+    NEXT chunk's fc1 matmul is issued before the CURRENT chunk's gelu so
+    Mosaic overlaps the VPU erf-gelu with MXU work (a single dependent
+    dot->gelu->dot chain serializes them: 0.86 vs 0.69 ms floor per ViT-L
+    block; pipelined measures ~7% faster, tools/proto_mlp_r3.py)."""
     xb = x_ref[0]
     j = pl.program_id(2)
 
@@ -48,11 +53,26 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    h = jax.lax.dot_general(xb, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = _gelu_erf_poly(h + b1_ref[0]).astype(xb.dtype)
-    acc[...] += jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+    hs = block_h // sub
+    h_cur = jax.lax.dot_general(xb, w1_ref[:, 0:hs],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    h_cur = h_cur + b1_ref[0, 0:hs]
+    part = jnp.zeros_like(acc)
+    for i in range(sub):
+        if i + 1 < sub:
+            h_nxt = jax.lax.dot_general(
+                xb, w1_ref[:, (i + 1) * hs:(i + 2) * hs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h_nxt = h_nxt + b1_ref[0, (i + 1) * hs:(i + 2) * hs]
+        g = _gelu_erf_poly(h_cur).astype(xb.dtype)
+        part += jax.lax.dot_general(g, w2_ref[i * hs:(i + 1) * hs],
+                                    (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+        if i + 1 < sub:
+            h_cur = h_nxt
+    acc[...] += part
 
     @pl.when(j == nsub - 1)
     def _():
@@ -75,7 +95,7 @@ def _pick_block_n(N: int, cap: int = 512) -> int:
 
 
 def _mlp_pallas(x3, w1, b1, w2, b2, block_n: int = 0,
-                block_h: int = 1024, interpret: bool = False):
+                block_h: int = 4096, interpret: bool = False):
     B, N, C = x3.shape
     H = w1.shape[1]
     if block_n == 0:
@@ -83,13 +103,17 @@ def _mlp_pallas(x3, w1, b1, w2, b2, block_n: int = 0,
     nN = -(-N // block_n)
     block_h = min(block_h, H)
     nsub = H // block_h
+    # gelu/MXU pipelining chunks: target 512-wide fc1 sub-matmuls
+    sub = max(1, block_h // 512)
+    while block_h % sub:
+        sub -= 1
     kwargs = {"scratch_shapes": [pltpu.VMEM((block_n, C), jnp.float32)]} \
         if pltpu is not None else {}
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"))
     return pl.pallas_call(
-        functools.partial(_mlp_kernel, nsub=nsub),
+        functools.partial(_mlp_kernel, nsub=nsub, sub=sub, block_h=block_h),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x3.dtype),
         grid=(B, nN, nsub),
         in_specs=[
@@ -290,14 +314,23 @@ def _mlp_ln_res_bb_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
                 (y * g_ref[0] + be_ref[0]).astype(xn_ref.dtype)
         acc[...] = jnp.zeros_like(acc)
 
-    for u in range(bb):
+    # staged across sub-batch items: item u+1's fc1 is issued before item
+    # u's gelu so the VPU erf-gelu overlaps MXU work instead of
+    # serializing inside a dot->gelu->dot chain (tools/proto_mlp_r3.py)
+    def _fc1(u):
         h = jax.lax.dot_general(
             xn_ref[u * bn:(u + 1) * bn, :], w1_ref[...],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        h = _gelu_erf_poly(h + b1_ref[0]).astype(xn_ref.dtype)
+        return h + b1_ref[0]
+
+    h_cur = _fc1(0)
+    for u in range(bb):
+        h_nxt = _fc1(u + 1) if u + 1 < bb else None
+        g = _gelu_erf_poly(h_cur).astype(xn_ref.dtype)
         acc[u * bn:(u + 1) * bn, :] += jax.lax.dot_general(
-            h, w2_ref[...], (((1,), (0,)), ((), ())),
+            g, w2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        h_cur = h_nxt
 
     @pl.when(j == nsub - 1)
     def _():
@@ -372,9 +405,10 @@ def _bb_for(x3, w1, block_h: int = 512) -> int:
     it = x3.dtype.itemsize
     while bb > 1:
         # x double-buffered + xn scratch + f32 acc + out db + w1/w2 db
+        # (budget matches the 23 MB scoped-vmem cap set in mtt_tpu/__init__)
         vmem = (2 * bb * bn * C * it + bb * bn * C * it + bb * bn * C * 4
                 + 2 * bb * bn * C * it + 4 * C * block_h * w1.dtype.itemsize)
-        if B % bb == 0 and vmem <= 15 * 2 ** 20:
+        if B % bb == 0 and vmem <= 21 * 2 ** 20:
             return bb
         bb -= 1
     return 1

@@ -10,11 +10,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_distributed_pipeline(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_multiprocess.py"),
-         "--out-dir", str(tmp_path), "--port", "53411"],
-        capture_output=True, text=True, timeout=560,
+         "--out-dir", str(tmp_path), "--port", _free_port()],
+        capture_output=True, text=True, timeout=840,
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert out.returncode == 0, out.stderr[-3000:]
