@@ -54,8 +54,11 @@ def smooth_l1_loss(pred, target, beta: float = 1.0 / 9.0, weight=None,
 def softmax_ce_loss(logits, labels, weight=None, avg_factor=None,
                     loss_weight: float = 1.0):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
+    # one-hot multiply-reduce: per-row class gathers are serial on TPU
+    # (see losses/loss_functions.py cross_entropy_loss)
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1],
+                        dtype=logp.dtype)
+    nll = -(logp * oh).sum(axis=-1)
     return loss_weight * _reduce(nll, weight, avg_factor)
 
 

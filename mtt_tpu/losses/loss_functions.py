@@ -32,7 +32,14 @@ def cross_entropy_loss(logits, label, ignore_index: int = 255,
     safe_label = jnp.where(valid, label, 0)
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_label[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce instead of take_along_axis: the per-pixel
+    # class gather lowers to a serial HBM gather on TPU (7.7 ms per loss
+    # at 512^2x2 — 21 ms/train-step for the three CE losses); the one-hot
+    # contraction is a fused VPU multiply-reduce over <=21 lanes, and its
+    # transpose (the backward) is a broadcast instead of a scatter.
+    K = logits.shape[-1]
+    oh = jax.nn.one_hot(safe_label, K, dtype=logp.dtype)
+    nll = -(logp * oh).sum(axis=-1)
 
     if balanced:
         # binary pos/neg balancing: weight = freq of the other class
