@@ -108,11 +108,17 @@ def bench_train_step(steps=10):
     batch = jax.device_put(batch, trainer.data_sharding)
     jax.block_until_ready(batch["image"])
     state, losses = trainer.train_step(state, batch, key)   # compile
-    jax.block_until_ready(losses["total"])
+    float(jax.device_get(losses["total"]))
+    # per-step device_get sync: through the remote tunnel an UNSYNCED
+    # dispatch queue drains pathologically (a 150 ms step read as 1.9 s);
+    # block_until_ready can also return early here. The first synced step
+    # is discarded (queue-drain tail).
+    state, losses = trainer.train_step(state, batch, key)
+    float(jax.device_get(losses["total"]))
     t0 = time.perf_counter()
     for _ in range(steps):
         state, losses = trainer.train_step(state, batch, key)
-    float(jax.device_get(losses["total"]))
+        float(jax.device_get(losses["total"]))
     dt = time.perf_counter() - t0
     return {"metric": "train step ms/iter (TaskPrompter-ViT-L PASCAL "
                       "5-task, bf16 compute, batch 2/chip)",
