@@ -551,10 +551,142 @@ def _attn_ln_fwd(x, gamma, beta, w, b, heads, scale, eps, emit, impl):
     return out, (x, gamma, beta, w, b)
 
 
+# ---------------------------------------------------------------------------
+# Flash-style attention-core backward: given the head-major qkv tensor and
+# the output cotangent, recompute probabilities per (batch, head-pair) in
+# q-row chunks and emit dqkv — the (N, N) probability/cotangent matrices
+# never reach HBM. The XLA recompute backward materialises four
+# (B, H, N, N) f32 tensors per block (135 MB each at ViT-L train shapes);
+# its softmax-correction multiply_reduce alone profiled 0.46 ms/block.
+# ---------------------------------------------------------------------------
+
+_BWD_Q_CHUNK = 256
+
+
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, D: int, hpb: int,
+                     scale: float, q_chunk: int):
+    qkv = qkv_ref[0]
+    N = qkv.shape[0]
+    sc = jnp.asarray(scale, jnp.float32)
+    for h in range(hpb):
+        base = h * 3 * D
+        q = qkv[:, base:base + D]
+        k = qkv[:, base + D:base + 2 * D]
+        v = qkv[:, base + 2 * D:base + 3 * D]
+        gh = g_ref[0][:, h * D:(h + 1) * D]
+        dv = jnp.zeros((N, D), jnp.float32)
+        dk = jnp.zeros((N, D), jnp.float32)
+        for q0 in range(0, N, q_chunk):
+            qc = q[q0:q0 + q_chunk]
+            gc = gh[q0:q0 + q_chunk]
+            logits = jax.lax.dot_general(
+                qc, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sc
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            pn = e / jnp.sum(e, axis=-1, keepdims=True)
+            dp = jax.lax.dot_general(
+                gc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (qc, N)
+            r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+            dl = (pn * (dp - r)).astype(qkv.dtype)           # (qc, N)
+            pb = pn.astype(qkv.dtype)
+            dq_c = jax.lax.dot_general(
+                dl, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * sc
+            dqkv_ref[0, q0:q0 + qc.shape[0], base:base + D] = \
+                dq_c.astype(dqkv_ref.dtype)
+            dv += jax.lax.dot_general(
+                pb, gc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (N, D)
+            dk += jax.lax.dot_general(
+                dl, qc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, base + D:base + 2 * D] = \
+            (dk * sc).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, base + 2 * D:base + 3 * D] = dv.astype(dqkv_ref.dtype)
+
+
+def _attn_core_bwd_pallas(qkv, g, heads: int, scale: float, hpb: int = 2,
+                          interpret: bool = False):
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, D=D, hpb=hpb, scale=scale,
+                          q_chunk=_BWD_Q_CHUNK),
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B, heads // hpb),
+        in_specs=[
+            pl.BlockSpec((1, N, hpb * 3 * D), lambda b, h: (b, 0, h)),
+            pl.BlockSpec((1, N, hpb * D), lambda b, h: (b, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, N, hpb * 3 * D), lambda b, h: (b, 0, h)),
+        interpret=interpret,
+        **kwargs,
+    )(qkv, g)
+
+
+def _attn_core_bwd_xla(qkv, g, heads: int, scale: float):
+    """Reference attention-core backward (same math, XLA einsums)."""
+    B, N, C3 = qkv.shape
+    D = C3 // heads // 3
+    qkv5 = qkv.reshape(B, N, heads, 3, D)
+    q, k, v = qkv5[:, :, :, 0], qkv5[:, :, :, 1], qkv5[:, :, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    gf = g.reshape(B, N, heads, D).astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, v.astype(jnp.float32))
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dl, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dl, q.astype(jnp.float32)) * scale
+    dqkv = jnp.stack([dq, dk, dv], axis=3).astype(qkv.dtype)
+    return dqkv.reshape(B, N, C3)
+
+
+def _bwd_pallas_ok(x, w, heads: int, hpb: int = 2) -> bool:
+    B, N, C = x.shape
+    D = w.shape[1] // heads // 3
+    return (pltpu is not None and heads % hpb == 0
+            and (hpb * 3 * D) % 128 == 0 and (hpb * D) % 128 == 0
+            and N * min(_BWD_Q_CHUNK, N) * 4 * 3 <= 10 * 2 ** 20)
+
+
 def _attn_ln_bwd(heads, scale, eps, emit, impl, res, g):
-    # Recompute-based: differentiate the XLA composition (saves only the
-    # block input; the qkv tensor and probabilities are re-derived).
     x, gamma, beta, w, b = res
+    if impl in ("pallas", "interpret") and _bwd_pallas_ok(x, w, heads):
+        # recompute LN and qkv (MXU-fast XLA), run the attention-core
+        # backward in Pallas, then close LN/projection grads in XLA
+        interp = impl == "interpret"
+        B, N, C = x.shape
+        xn_f, ln_vjp = jax.vjp(
+            lambda xx, ga, be: _ln_f32_full(xx, ga, be, eps), x, gamma, beta)
+        xn = xn_f.astype(x.dtype)
+        qkv = xn @ w + b.astype(x.dtype)
+        if emit:
+            g_out, g_qkv, g_xn = g
+        else:
+            g_out, g_qkv, g_xn = g, None, None
+        dqkv = _attn_core_bwd_pallas(qkv, g_out, heads, scale,
+                                     interpret=interp)
+        if g_qkv is not None:
+            dqkv = dqkv + g_qkv
+        dxn = (dqkv @ w.T).astype(jnp.float32)
+        if g_xn is not None:
+            dxn = dxn + g_xn.astype(jnp.float32)
+        dw = jax.lax.dot_general(
+            xn.reshape(B * N, C), dqkv.reshape(B * N, -1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(w.dtype)
+        db = dqkv.astype(jnp.float32).sum((0, 1)).astype(b.dtype)
+        dx, dgamma, dbeta = ln_vjp(dxn)
+        return dx, dgamma, dbeta, dw, db
+    # fallback: differentiate the XLA composition
     _, vjp = jax.vjp(
         lambda xx, ga, be, ww, bb:
             _attn_ln_qkv_xla(xx, ga, be, ww, bb, heads, scale, eps, emit),

@@ -349,3 +349,42 @@ def test_fused_up4_head_grad_is_xla_composition():
     g2 = jax.grad(lambda a: (_head_xla(a, kc, inv, addv, kp) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_attn_core_bwd_pallas_matches_xla():
+    """Flash-style attention-core backward (interpret) vs XLA einsums."""
+    from mtt_tpu.kernels.attention import (_attn_core_bwd_pallas,
+                                           _attn_core_bwd_xla)
+    rng = np.random.default_rng(3)
+    B, N, H, D = 2, 100, 4, 64
+    qkv = jnp.asarray(rng.normal(size=(B, N, H * 3 * D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+    ref = _attn_core_bwd_xla(qkv, g, H, D ** -0.5)
+    got = _attn_core_bwd_pallas(qkv, g, H, D ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_attn_ln_grads_pallas_bwd_matches_xla():
+    """Full pre-norm attention block grads: the Pallas-core backward path
+    (impl='interpret') vs the XLA-composition vjp (impl='xla')."""
+    from mtt_tpu.kernels.attention import fused_attention_ln_qkv
+    rng = np.random.default_rng(4)
+    B, N, C, H = 1, 64, 256, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32) * 0.3)
+    ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.02)
+
+    def loss(impl):
+        def f(x, ga, be, w, b):
+            out = fused_attention_ln_qkv(x, ga, be, w, b, H, impl=impl)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    g1 = jax.grad(loss("interpret"), argnums=(0, 1, 2, 3, 4))(x, ga, be, w, b)
+    g2 = jax.grad(loss("xla"), argnums=(0, 1, 2, 3, 4))(x, ga, be, w, b)
+    for a, bb, nm in zip(g1, g2, ("dx", "dgamma", "dbeta", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=3e-3, rtol=3e-3, err_msg=nm)
