@@ -723,6 +723,118 @@ def fused_attention_ln_qkv(x, gamma, beta, w, b, heads: int,
                               need_qkv, impl)
 
 
+# ---------------------------------------------------------------------------
+# Windowed attention with additive bias + window mask (Swin).
+# One program per (batch-window, head): K/V stay VMEM-resident, the
+# relative-position bias (per head) and shifted-window mask (per window)
+# are added to the logits in-kernel — the XLA path materialises the
+# (B*nW, heads, M, M) logits tensor four times per block.
+# ---------------------------------------------------------------------------
+
+
+def _wattn_kernel(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref, *, scale: float):
+    q = q_ref[0]                        # (M, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    logits = logits + b_ref[0] + m_ref[0]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / s).astype(o_ref.dtype)
+
+
+def _window_attention_xla(q, k, v, bias, mask, scale, nW):
+    BW, M, H, D = q.shape
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[None]
+    if mask is not None:
+        m = jnp.tile(mask, (BW // nW, 1, 1))
+        logits = logits + m[:, None]
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def _window_attention_pallas(q, k, v, bias, mask, scale, nW,
+                             interpret=False):
+    BW, M, H, D = q.shape
+    qf = q.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    if mask is None:
+        mask = jnp.zeros((1, M, M), jnp.float32)
+        nW = 1
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    out = pl.pallas_call(
+        functools.partial(_wattn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((BW * H, M, D), q.dtype),
+        grid=(BW * H,),
+        in_specs=[
+            pl.BlockSpec((1, M, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda bh: (bh % H, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda bh: ((bh // H) % nW, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, M, D), lambda bh: (bh, 0, 0)),
+        interpret=interpret,
+        **kwargs,
+    )(qf, kf, vf, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    return out.reshape(BW, H, M, D).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_window_attention(q, k, v, bias, mask, scale, nW, impl):
+    if impl == "pallas" and pltpu is not None:
+        return _window_attention_pallas(q, k, v, bias, mask, scale, nW)
+    if impl == "interpret":
+        return _window_attention_pallas(q, k, v, bias, mask, scale, nW,
+                                        interpret=True)
+    return _window_attention_xla(q, k, v, bias, mask, scale, nW)
+
+
+def _wattn_fwd(q, k, v, bias, mask, scale, nW, impl):
+    return (_fused_window_attention(q, k, v, bias, mask, scale, nW, impl),
+            (q, k, v, bias, mask))
+
+
+def _wattn_bwd(scale, nW, impl, res, g):
+    q, k, v, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb, mm:
+            _window_attention_xla(qq, kk, vv, bb, mm, scale, nW),
+        q, k, v, bias, mask)
+    return vjp(g)
+
+
+_fused_window_attention.defvjp(_wattn_fwd, _wattn_bwd)
+
+
+def fused_window_attention(q, k, v, bias, mask, scale: float, nW: int,
+                           impl: Optional[str] = None):
+    """Swin window attention over (B*nW, M, H, D) with a per-head additive
+    bias (H, M, M) and an optional per-window mask (nW, M, M) — prompt
+    rows/cols are expressed as zero-padded bias/mask entries by the
+    caller. Returns (B*nW, M, H, D)."""
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_ATTN_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mask is None:
+        return _fused_window_attention(q, k, v, bias, None, scale, 1, impl)
+    return _fused_window_attention(q, k, v, bias, mask, scale, nW, impl)
+
+
 def fused_attention(q, k, v, scale: Optional[float] = None,
                     impl: Optional[str] = None):
     """Multi-head attention over (B, N, H, D) tensors.

@@ -122,29 +122,36 @@ class SwinPromptBlock(nn.Module):
         qkv = qkv.reshape(-1, P + N, 3, Hd, Dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        raw = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                         preferred_element_type=jnp.float32)  # (B*nW,H,P+N,P+N)
-        attn = raw * (Dh ** -0.5)
-
-        # relative position bias on the patch-patch block only
+        # relative position bias on the patch-patch block only; pad with
+        # zero prompt rows/cols and add elementwise — an .at[P:, P:].add
+        # would lower to a dynamic-update-slice that COPIES the whole
+        # attention tensor (354 MB/block at CS3D shapes; 61 ms/step)
         rpbt = self.param("relative_position_bias_table", trunc_normal(0.02),
                           ((2 * ws - 1) * (2 * ws - 1), Hd))
         rpi = relative_position_index(ws)
         bias = rpbt[rpi.reshape(-1)].reshape(N, N, Hd).transpose(2, 0, 1)
-        # bias/mask apply only to the patch-patch block; pad with zero
-        # prompt rows/cols and add elementwise — an .at[P:, P:].add would
-        # lower to a dynamic-update-slice that COPIES the whole attention
-        # tensor (354 MB/block at CS3D shapes; 61 ms/step measured)
         bias_f = jnp.pad(bias, ((0, 0), (P, 0), (P, 0)))
-        attn = attn + bias_f[None]
-
+        m_f = None
         if shift > 0:
             m = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))  # (nW,N,N)
             m_f = jnp.pad(m, ((0, 0), (P, 0), (P, 0)))
-            attn = attn + jnp.tile(m_f, (B, 1, 1))[:, None]
 
-        probs = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(-1, P + N, C)
+        raw = None
+        if need_taps:
+            # tap blocks need the raw (pre-scale, pre-bias) scores for the
+            # prompt attention maps — XLA einsum path
+            raw = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+            attn = raw * (Dh ** -0.5) + bias_f[None]
+            if m_f is not None:
+                attn = attn + jnp.tile(m_f, (B, 1, 1))[:, None]
+            probs = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            from mtt_tpu.kernels.attention import fused_window_attention
+            out = fused_window_attention(q, k, v, bias_f.astype(jnp.float32),
+                                         m_f, Dh ** -0.5, nW)
+        out = out.reshape(-1, P + N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
         p_out = out[:, :P].reshape(B, nW, P, C).mean(axis=1)

@@ -388,3 +388,22 @@ def test_attn_ln_grads_pallas_bwd_matches_xla():
     for a, bb, nm in zip(g1, g2, ("dx", "dgamma", "dbeta", "dw", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=3e-3, rtol=3e-3, err_msg=nm)
+
+
+def test_fused_window_attention_matches_xla():
+    from mtt_tpu.kernels.attention import fused_window_attention
+    rng = np.random.default_rng(5)
+    nW, B, M, H, D = 4, 2, 19, 2, 32     # M = prompts + window tokens
+    q = jnp.asarray(rng.normal(size=(B * nW, M, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B * nW, M, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B * nW, M, H, D)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(H, M, M)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nW, M, M)) > 0.7, -100.0, 0.0)
+                       .astype(np.float32))
+    for m in (mask, None):
+        ref = fused_window_attention(q, k, v, bias, m, D ** -0.5, nW,
+                                     impl="xla")
+        got = fused_window_attention(q, k, v, bias, m, D ** -0.5, nW,
+                                     impl="interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
