@@ -101,7 +101,7 @@ def _mlp_pallas(x3, w1, b1, w2, b2, block_n: int = 0,
     if block_n == 0:
         block_n = _pick_block_n(N)
     nN = -(-N // block_n)
-    block_h = min(block_h, H)
+    block_h = H if H <= block_h else block_h
     nsub = H // block_h
     # gelu/MXU pipelining chunks: target 512-wide fc1 sub-matmuls
     sub = max(1, block_h // 512)
@@ -141,8 +141,10 @@ def _mlp_xla(x3, w1, b1, w2, b2):
 
 def _pallas_ok(x3, w1) -> bool:
     C, H = w1.shape
-    # weights in lane-aligned blocks; scratch + operands within VMEM
-    return C % 128 == 0 and H % 1024 == 0
+    # weights in lane-aligned blocks; scratch + operands within VMEM.
+    # H <= 4096 runs as a single hidden block; larger H needs 1024-aligned
+    # sub-blocks (grid nsub = H // block_h must cover H exactly).
+    return C % 128 == 0 and H % 128 == 0 and (H <= 4096 or H % 1024 == 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -201,13 +203,32 @@ def _as3d(x):
 
 
 def fused_mlp(x, w1, b1, w2, b2, impl: Optional[str] = None):
-    """Transformer MLP over (..., C) with hidden dim w1.shape[1]."""
+    """Transformer MLP over (..., C) with hidden dim w1.shape[1].
+
+    Lane-misaligned dims (C % 128, H % 128) are zero-padded so the Pallas
+    kernel still applies — EXACT (zero input columns contribute nothing;
+    padded hidden units have b1=0 so gelu(0)=0 against zero w2 rows) and
+    still faster than the XLA fallback despite the wasted flops: the
+    InvPT decoder's stage-2 MLP (C=144) ran as a 34 TF/s XLA fusion with
+    a column-major f32 hidden tensor."""
     if impl is None:
         import os
         impl = os.environ.get("MTT_MLP_IMPL")
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = x.shape
+    C, H = w1.shape
+    if impl in ("pallas", "interpret") and (C % 128 or H % 128):
+        Cp = -(-C // 128) * 128
+        Hp = -(-H // 128) * 128
+        x3 = _as3d(x)
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, Cp - C)))
+        w1p = jnp.pad(w1, ((0, Cp - C), (0, Hp - H)))
+        b1p = jnp.pad(b1, (0, Hp - H))
+        w2p = jnp.pad(w2, ((0, Hp - H), (0, Cp - C)))
+        b2p = jnp.pad(b2, (0, Cp - C))
+        out = _fused_mlp(x3, w1p, b1p, w2p, b2p, impl)
+        return out[..., :C].reshape(shape)
     out = _fused_mlp(_as3d(x), w1, b1, w2, b2, impl)
     return out.reshape(shape)
 

@@ -407,3 +407,20 @@ def test_fused_window_attention_matches_xla():
                                      impl="interpret")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_fused_mlp_padded_misaligned_channels():
+    """Lane-misaligned (C=144, H=576) MLP runs through the Pallas kernel
+    via exact zero padding (the InvPT decoder stage shapes)."""
+    from mtt_tpu.kernels.mlp import fused_mlp
+    rng = np.random.default_rng(6)
+    C, H = 144, 576
+    x = jnp.asarray(rng.normal(size=(2, 40, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.02)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.02)
+    ref = fused_mlp(x, w1, b1, w2, b2, impl="xla")
+    got = fused_mlp(x, w1, b1, w2, b2, impl="interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
