@@ -83,12 +83,20 @@ class TaskStackConvBN(nn.Module):
     dilation: Tuple[int, int] = (1, 1)
     strides: Tuple[int, int] = (1, 1)
     depthwise: bool = False
+    merged_io: bool = False   # in/out already (B, H, W, T*C): back-to-back
+    tasks: int = 0            # stacks skip the cancelling transpose pairs
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        B, T, H, W, C = x.shape
-        xm = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
+        if self.merged_io:
+            B, H, W, TC = x.shape
+            T = self.tasks
+            C = TC // T
+            xm = x
+        else:
+            B, T, H, W, C = x.shape
+            xm = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
         groups = T * C if self.depthwise else T
         # torch-style symmetric padding d*(k-1)/2: identical to SAME at
         # stride 1, but for the stride-2 q conv (invpt.py:124-137, pad=1)
@@ -102,6 +110,8 @@ class TaskStackConvBN(nn.Module):
                      dtype=self.dtype, name="conv")(xm)
         xm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="bn")(xm)
+        if self.merged_io:
+            return xm
         Ho, Wo = xm.shape[1:3]
         return xm.reshape(B, Ho, Wo, T, self.features).transpose(0, 3, 1, 2, 4)
 
@@ -117,13 +127,21 @@ class UpEmbed(nn.Module):
         B, T, H, W, C = x.shape
         x = x.reshape(B * T, H, W, C)
         x = upsample2x(x)
-        x = x.reshape(B, T, 2 * H, 2 * W, C)
+        # one merge/unmerge pair around BOTH conv stacks: the merged
+        # (B, H, W, T*C) layout passes straight through (relu is
+        # layout-agnostic), deleting two cancelling 47 MB transposes
+        x = x.reshape(B, T, 2 * H, 2 * W, C).transpose(0, 2, 3, 1, 4) \
+            .reshape(B, 2 * H, 2 * W, T * C)
         x = TaskStackConvBN(self.features, (3, 3), dilation=(2, 2),
+                            merged_io=True, tasks=T,
                             dtype=self.dtype, name="proj1")(x, train=train)
         x = nn.relu(x)
         x = TaskStackConvBN(self.features, (3, 3), dilation=(2, 2),
+                            merged_io=True, tasks=T,
                             dtype=self.dtype, name="proj2")(x, train=train)
-        return nn.relu(x)
+        x = nn.relu(x)
+        return x.reshape(B, 2 * H, 2 * W, T, self.features) \
+            .transpose(0, 3, 1, 2, 4)
 
 
 class CrossTaskAttention(nn.Module):
@@ -299,14 +317,14 @@ class InvPTDecoder(nn.Module):
                                     name=f"stage_{i}")(x, message, train=train)
 
             # stage norm over the task-concatenated channel dim
-            # (invpt.py:524-527: LayerNorm(task_no * dim))
+            # (invpt.py:524-527: LayerNorm(task_no * dim)); per-task maps
+            # are LANE slices of the merged layout — no transpose back
             Bx, Tx, Hx, Wx, Cx = x.shape
             xs = x.transpose(0, 2, 3, 1, 4).reshape(Bx, Hx, Wx, Tx * Cx)
             xs = FusedLN(name=f"norm_mt_{i}")(xs)
-            xs = xs.reshape(Bx, Hx, Wx, Tx, Cx).transpose(0, 3, 1, 2, 4)
 
             for ti, t in enumerate(self.tasks):
-                tx = xs[:, ti]
+                tx = xs[..., ti * Cx:(ti + 1) * Cx]
                 if i > 0:  # redu_chan only for stages past the first (invpt.py:535-536)
                     tx = nn.Conv(D, (1, 1), dtype=self.dtype,
                                  name=f"redu_chan_{i}_{t}")(tx)
