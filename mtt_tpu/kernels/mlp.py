@@ -28,15 +28,18 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _gelu_erf_poly(h):
-    """Exact-form gelu with a minimax erf (A&S 7.1.26, |err|<=1.5e-7)."""
-    z = h * (2.0 ** -0.5)
+def _erf_poly(z):
+    """Minimax erf (A&S 7.1.26, |err| <= 1.5e-7)."""
     az = jnp.abs(z)
     t = 1.0 / (1.0 + 0.3275911 * az)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-    return 0.5 * h * (1.0 + erf_z)
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _gelu_erf_poly(h):
+    """Exact-form gelu with a minimax erf (A&S 7.1.26, |err|<=1.5e-7)."""
+    return 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc,
@@ -455,13 +458,45 @@ def _mlp_ln_res_fwd(x2, gamma, beta, w1, b1, w2, b2, eps, impl):
 
 
 def _mlp_ln_res_bwd(eps, impl, res, g):
-    # Recompute-based: differentiate the XLA composition (exact gelu/LN).
+    # Hand-written recompute backward with bf16 intermediates: the
+    # generic vjp of the XLA composition stores the (B*N, H) hidden and
+    # its cotangent in f32 (375 MB of round-trips per ViT-L train block);
+    # casting h/a/dact to the model dtype halves that traffic. gelu'
+    # recomputes from the bf16 h — grad-parity tests bound the error.
     x2, gamma, beta, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda x, ga, be, a1, c1, a2, c2:
-            _mlp_ln_res_xla(x, ga, be, a1, c1, a2, c2, eps),
-        x2, gamma, beta, w1, b1, w2, b2)
-    return vjp(g)
+    dt = x2.dtype
+    B, N, C = x2.shape
+    xn_f, ln_vjp = jax.vjp(lambda xx, ga, be: _ln_f32(xx, ga, be, eps),
+                           x2, gamma, beta)
+    xn = xn_f.astype(dt)
+    h = jax.lax.dot_general(xn, w1, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) \
+        + b1.astype(jnp.float32)
+    hb = h.astype(dt)
+    a = _gelu_erf_poly(h).astype(dt)
+    gf = g.astype(dt)
+    dact = jax.lax.dot_general(gf, w2, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # d/dh gelu(h) = Phi(h) + h phi(h)
+    hf = hb.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * hf * hf) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    cdf = 0.5 * (1.0 + _erf_poly(hf * (2.0 ** -0.5)))
+    dh = (dact * (cdf + hf * phi)).astype(dt)
+    dxn = jax.lax.dot_general(dh, w1, (((2,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(
+        xn.reshape(B * N, C), dh.reshape(B * N, -1),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = dh.astype(jnp.float32).sum((0, 1)).astype(b1.dtype)
+    dw2 = jax.lax.dot_general(
+        a.reshape(B * N, -1), gf.reshape(B * N, C),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = g.astype(jnp.float32).sum((0, 1)).astype(b2.dtype)
+    dx, dgamma, dbeta = ln_vjp(dxn)
+    dx = (dx + g.astype(dx.dtype)).astype(x2.dtype)   # residual branch
+    return dx, dgamma, dbeta, dw1, db1, dw2, db2
 
 
 _fused_mlp_ln_res.defvjp(_mlp_ln_res_fwd, _mlp_ln_res_bwd)

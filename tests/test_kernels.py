@@ -424,3 +424,33 @@ def test_fused_mlp_padded_misaligned_channels():
     got = fused_mlp(x, w1, b1, w2, b2, impl="interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_mlp_ln_res_handwritten_bwd_matches_autodiff():
+    """Hand-written bf16-intermediate backward vs autodiff of the same
+    XLA composition."""
+    from mtt_tpu.kernels.mlp import fused_mlp_ln_res, _mlp_ln_res_xla
+    rng = np.random.default_rng(7)
+    B, N, C, H = 1, 40, 128, 512
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32) * 0.3)
+    ga = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    be = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.02)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.02)
+
+    def loss_custom(*a):
+        return (fused_mlp_ln_res(*a, eps=1e-6, impl="xla") ** 2).sum()
+
+    def loss_plain(*a):
+        return (_mlp_ln_res_xla(*a, 1e-6) ** 2).sum()
+
+    g1 = jax.grad(loss_custom, argnums=tuple(range(7)))(
+        x, ga, be, w1, b1, w2, b2)
+    g2 = jax.grad(loss_plain, argnums=tuple(range(7)))(
+        x, ga, be, w1, b1, w2, b2)
+    names = ("dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2")
+    for a, b, nm in zip(g1, g2, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3, err_msg=nm)
