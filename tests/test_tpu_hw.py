@@ -271,3 +271,52 @@ class TestFastSoftmaxGuard:
         out = fused_attention_qkv(jnp.asarray(qkv), H, D ** -0.5,
                                   impl="pallas")
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestRound3KernelsOnTPU:
+    def test_fused_up4_head_pallas_vs_xla(self):
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.head_up4 import fused_up4_head
+        rng = _rng(20)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 350)) * 0.3,
+                        jnp.bfloat16)
+        kc = jnp.asarray(rng.normal(size=(3, 3, 350, 350)) * 0.02,
+                         jnp.float32)
+        inv = jnp.asarray(1.0 + 0.1 * rng.normal(size=(350,)), jnp.float32)
+        addv = jnp.asarray(0.1 * rng.normal(size=(350,)), jnp.float32)
+        kp = jnp.asarray(rng.normal(size=(350, 21)) * 0.05, jnp.float32)
+        ref = np.asarray(fused_up4_head(x, kc, inv, addv, kp, impl="xla"))
+        got = np.asarray(fused_up4_head(x, kc, inv, addv, kp, impl="pallas"))
+        np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+
+    def test_window_attention_pallas_vs_xla(self):
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import fused_window_attention
+        rng = _rng(21)
+        nW, B, M, H, D = 8, 2, 147, 4, 64
+        q = jnp.asarray(rng.normal(size=(B * nW, M, H, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B * nW, M, H, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B * nW, M, H, D)), jnp.bfloat16)
+        bias = jnp.asarray(rng.normal(size=(H, M, M)), jnp.float32)
+        mask = jnp.asarray(
+            np.where(rng.random((nW, M, M)) > 0.7, -100.0, 0.0), jnp.float32)
+        ref = np.asarray(fused_window_attention(
+            q, k, v, bias, mask, D ** -0.5, nW, impl="xla"), np.float32)
+        got = np.asarray(fused_window_attention(
+            q, k, v, bias, mask, D ** -0.5, nW, impl="pallas"), np.float32)
+        np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+    def test_attention_core_backward_pallas_vs_xla(self):
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.attention import (_attn_core_bwd_pallas,
+                                               _attn_core_bwd_xla)
+        rng = _rng(22)
+        B, N, H, D = 2, 1029, 4, 64
+        qkv = jnp.asarray(rng.normal(size=(B, N, H * 3 * D)) * 0.3,
+                          jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(B, N, H * D)), jnp.bfloat16)
+        ref = np.asarray(_attn_core_bwd_xla(qkv, g, H, D ** -0.5),
+                         np.float32)
+        got = np.asarray(_attn_core_bwd_pallas(qkv, g, H, D ** -0.5),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
