@@ -137,3 +137,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# NOTE: a j-outer grid (weights streamed once, x re-streamed) was
+# sketched and ABANDONED: the fc2 accumulator must persist across the
+# j sweep PER (b, i) block, which a shared scratch cannot express once
+# j is the outer grid dim (each j pass visits every (b, i) cell).
