@@ -126,6 +126,61 @@ def bench_train_step(steps=10):
             "imgs_per_sec": round(steps * B / dt, 2)}
 
 
+def bench_train_step_cs3d(steps=6):
+    """TaskPrompter-Swin-B Cityscapes-3D joint 2D+3D training step,
+    batch 1/chip at 1024x2048 (the reference recipe,
+    cs_swinB_taskprompter.yml:8)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mtt_tpu.config import create_config
+    from mtt_tpu.models.wrappers import build_model
+    from mtt_tpu.utils.train_utils import Trainer
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    p = create_config(os.path.join(REPO, "configs/cityscapes3d/"
+                                   "taskprompter_swinB.yml"),
+                      {"run_mode": "train"})
+    model = build_model(p, dtype=jnp.bfloat16)
+    B, h, w = 1, 1024, 2048
+    dh, dw = p["dd_label_map_size"]
+    mb = p.det_cfg.max_boxes
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(B, h, w, 3)).astype(np.float32),
+        "semseg": rng.integers(0, 19, (B, dh, dw, 1)).astype(np.float32),
+        "depth": np.abs(rng.normal(size=(B, dh, dw, 1))).astype(np.float32),
+        "det_boxes3d": rng.normal(size=(B, mb, 9)).astype(np.float32),
+        "det_bboxes2d": np.abs(rng.normal(size=(B, mb, 4)) * 100)
+        .astype(np.float32),
+        "det_labels": rng.integers(0, 6, (B, mb)).astype(np.int32),
+        "det_centers2d": np.abs(rng.normal(size=(B, mb, 2)) * 100)
+        .astype(np.float32),
+        "det_depths": np.abs(rng.normal(size=(B, mb))).astype(np.float32),
+        "det_valid": (rng.random((B, mb)) > 0.5).astype(np.float32),
+    }
+    trainer = Trainer(p, model)
+    state = trainer.init_state(batch)
+    key = jax.random.PRNGKey(0)
+    batch = jax.device_put(batch, trainer.data_sharding)
+    jax.block_until_ready(batch["image"])
+    state, losses = trainer.train_step(state, batch, key)
+    float(jax.device_get(losses["total"]))
+    state, losses = trainer.train_step(state, batch, key)
+    float(jax.device_get(losses["total"]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = trainer.train_step(state, batch, key)
+        float(jax.device_get(losses["total"]))
+    dt = time.perf_counter() - t0
+    return {"metric": "train step ms/iter (TaskPrompter-Swin-B "
+                      "Cityscapes-3D 3-task, bf16 compute, batch 1/chip "
+                      "@1024x2048)",
+            "value": round(dt / steps * 1000, 1), "unit": "ms/iter",
+            "imgs_per_sec": round(steps * B / dt, 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_CONFIGS.json"))
@@ -146,6 +201,7 @@ def main():
         ("invpt_vitL", lambda: run_bench_py({"MTT_BENCH_MODEL": "invpt"})),
         ("swin_cs3d", bench_swin_cs3d),
         ("train_step_vitL", bench_train_step),
+        ("train_step_swin_cs3d", bench_train_step_cs3d),
     ]
     for name, fn in jobs:
         if name in args.skip:
