@@ -4,28 +4,32 @@
 Matches BASELINE.json's north star: >= 3x the A100-PyTorch reference
 throughput per v5e chip. The reference publishes no throughput numbers
 (SURVEY.md par.6) and no GPU is reachable here, so the denominator is a
-documented FLOP-based derivation pinned to the *measured* forward cost:
+documented FLOP-based derivation applied PER CONFIG to that config's own
+measured forward cost (r3 VERDICT weak #1: a fixed ViT-L denominator
+flattered ViT-B 3x and understated InvPT):
 
-  * Forward cost: XLA cost_analysis of this model at batch 8 bf16 gives
-    1.006 TFLOP/img (8.044e12 flops / 8 imgs; measured in this repo via
-    tools/perf_probe.py --flops; recomputed live below when possible).
-    The reference model is the same architecture, so the same count.
+  * Forward cost: XLA cost_analysis of the benched model (the Pallas
+    kernels hide FLOPs from cost_analysis, so the count comes from an
+    all-XLA lowering of the same model via the impl env switches).
   * Reference precision: the published recipe is plain fp32 eager — no
     autocast/GradScaler anywhere (SURVEY.md par.2.5); torch>=1.12 also
     disables TF32 matmuls by default. Faithful A100 ceiling: 19.5 TF/s
-    fp32 * ~60% eager efficiency ~= 12 imgs/s.
+    fp32 * ~60% eager efficiency.
   * Generous denominator (used for vs_baseline): assume the operator
-    enables TF32 matmuls (156 TF/s peak); multi-task eager ViT-L
-    realistically sustains ~30% -> ~47 TF/s -> ~46.5 imgs/s. 3x that is
-    the 140 imgs/s target. (A hypothetical fp16-AMP port would reach
-    ~110 imgs/s, but that is a different program than the reference.)
+    enables TF32 matmuls (156 TF/s peak); multi-task eager models
+    realistically sustain ~30% -> 46.8 TF/s. Then
+        a100_imgs_per_sec = 46.8 / tflop_per_img
+        target            = 3 * a100_imgs_per_sec
+        vs_baseline       = measured / target.
+    (A hypothetical fp16-AMP port would be ~2.3x faster, but that is a
+    different program than the reference.)
 
 The JSON line also reports the chip roofline fraction: measured bf16
-matmul peak on this v5e is 195.7 TF/s (tools/microbench3.py), so
-speed-of-light for this 1.006 TFLOP/img model is ~195 imgs/s/chip.
+matmul peak on this v5e is 195.7 TF/s (tools/microbench3.py).
 
 Env overrides: MTT_BENCH_MODEL (taskprompter|invpt|backbone),
-MTT_BENCH_BACKBONE, MTT_BENCH_BATCH, MTT_BENCH_STEPS.
+MTT_BENCH_BACKBONE, MTT_BENCH_DB (pascal|nyud), MTT_BENCH_BATCH,
+MTT_BENCH_STEPS.
 """
 
 from __future__ import annotations
@@ -36,10 +40,68 @@ import time
 
 import numpy as np
 
-A100_REF_IMGS_PER_SEC = 46.5     # TF32-eager derivation above
+A100_EAGER_TFLOPS = 46.8         # 156 TF/s TF32 peak * 0.30 eager efficiency
 TARGET_MULTIPLIER = 3.0
 V5E_BF16_PEAK_TFLOPS = 195.7     # measured, tools/microbench3.py matmuls_x24
-FALLBACK_TFLOP_PER_IMG = 1.006   # cost_analysis, XLA attention path
+FALLBACK_TFLOP_PER_IMG = 1.006   # headline cost_analysis, XLA attention path
+
+# reference dataset recipes (configs/*: input scale + task set)
+_DBS = {
+    "pascal": dict(
+        size=(512, 512),
+        tasks=("semseg", "human_parts", "sal", "edge", "normals"),
+        num_out={"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
+                 "normals": 3}),
+    # NYUD-v2: 448x576 crop, 4 tasks, 40-class semseg
+    # (InvPT/configs/nyud/nyud_vitLp16.yml, utils/config.py:112-124)
+    "nyud": dict(
+        size=(448, 576),
+        tasks=("semseg", "depth", "edge", "normals"),
+        num_out={"semseg": 40, "depth": 1, "edge": 1, "normals": 3}),
+}
+
+_XLA_IMPL_ENV = {"MTT_ATTN_IMPL": "xla", "MTT_MLP_IMPL": "xla",
+                 "MTT_LN_IMPL": "xla", "MTT_DECODE_IMPL": "xla",
+                 "MTT_HEAD_KERNEL_IMPL": "xla"}
+
+
+def xla_flops(fn, *args) -> float:
+    """FLOPs of fn(*args) from an all-XLA lowering (cost_analysis cannot
+    see inside Pallas custom calls; the impl env switches are read at
+    trace time)."""
+    import jax
+    saved = {k: os.environ.get(k) for k in _XLA_IMPL_ENV}
+    os.environ.update(_XLA_IMPL_ENV)
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", -1.0))
+
+
+def derive(imgs_per_sec: float, tflop_per_img: float) -> dict:
+    """Per-config honest baseline: the SAME A100-eager derivation the
+    headline uses, applied to this config's own FLOP count."""
+    if tflop_per_img <= 0:
+        return {"vs_baseline": None}
+    a100 = A100_EAGER_TFLOPS / tflop_per_img
+    achieved = imgs_per_sec * tflop_per_img
+    return {
+        "vs_baseline": round(imgs_per_sec / (TARGET_MULTIPLIER * a100), 4),
+        "tflop_per_img": round(tflop_per_img, 4),
+        "achieved_tflops": round(achieved, 1),
+        "roofline_fraction": round(achieved / V5E_BF16_PEAK_TFLOPS, 4),
+        "a100_ref_derivation": (
+            f"{tflop_per_img:.4g} TFLOP/img / (156 TF/s TF32 * 0.30 eager"
+            f" = 46.8 TF/s) = {a100:.1f} imgs/s; x3 target = "
+            f"{TARGET_MULTIPLIER * a100:.1f}"),
+    }
 
 
 def main():
@@ -54,12 +116,13 @@ def main():
 
     model_kind = os.environ.get("MTT_BENCH_MODEL", "taskprompter")
     backbone = os.environ.get("MTT_BENCH_BACKBONE", "TaskPrompter_vitL")
+    db = os.environ.get("MTT_BENCH_DB", "pascal")
     batch = int(os.environ.get("MTT_BENCH_BATCH", "8"))
     steps = int(os.environ.get("MTT_BENCH_STEPS", "20"))
 
-    tasks = ("semseg", "human_parts", "sal", "edge", "normals")
-    num_out = {"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
-               "normals": 3}
+    rec = _DBS[db]
+    tasks, num_out = rec["tasks"], rec["num_out"]
+    h, w = rec["size"]
     if model_kind == "taskprompter":
         model = TaskPrompterNet(
             tasks=tasks, num_outputs=num_out, backbone_name=backbone,
@@ -72,12 +135,12 @@ def main():
             embed_dim=512, pred_out=64, dtype=jnp.bfloat16)
         label = "InvPT-ViT-L"
     elif model_kind == "backbone":
-        model = build_vit("vitL", (512, 512), dtype=jnp.bfloat16)
+        model = build_vit("vitL", (h, w), dtype=jnp.bfloat16)
         label = "ViT-L-backbone-only"
     else:
         raise SystemExit(f"unknown MTT_BENCH_MODEL {model_kind}")
 
-    x = jnp.zeros((batch, 512, 512, 3), jnp.float32)
+    x = jnp.zeros((batch, h, w, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=())(
         jax.random.PRNGKey(0), x)
     # params in bf16 for inference: halves the HBM weight traffic per step
@@ -95,31 +158,12 @@ def main():
         return jnp.float32(sum(jnp.sum(l.astype(jnp.float32))
                                for l in leaves))
 
-    # cost_analysis can't see FLOPs inside Pallas custom calls, so the
-    # count is taken from an all-XLA lowering of the same model (the env
-    # impl switches are read at trace time) — otherwise e.g. InvPT-ViT-L
-    # reports 0.67 TFLOP/img instead of the true ~1.4 and the roofline
-    # fraction looks 2x worse than reality (r2 VERDICT weak #2 premise).
-    is_headline = model_kind == "taskprompter" and backbone.endswith("vitL")
+    is_headline = (model_kind == "taskprompter" and backbone.endswith("vitL")
+                   and db == "pascal")
     tflop_per_img = FALLBACK_TFLOP_PER_IMG if is_headline else 0.0
     try:
-        xla_env = {"MTT_ATTN_IMPL": "xla", "MTT_MLP_IMPL": "xla",
-                   "MTT_LN_IMPL": "xla", "MTT_DECODE_IMPL": "xla",
-                   "MTT_HEAD_KERNEL_IMPL": "xla"}
-        saved = {k: os.environ.get(k) for k in xla_env}
-        os.environ.update(xla_env)
-        try:
-            ca = jax.jit(lambda v, i: model.apply(v, i, train=False)).lower(
-                variables, x).compile().cost_analysis()
-        finally:
-            for k, old in saved.items():
-                if old is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = old
-        if isinstance(ca, list):
-            ca = ca[0]
-        f = float(ca.get("flops", -1.0))
+        f = xla_flops(lambda v, i: model.apply(v, i, train=False),
+                      variables, x)
         if f / batch / 1e12 > tflop_per_img:
             tflop_per_img = f / batch / 1e12
     except Exception:  # noqa: BLE001 - cost_analysis is best-effort
@@ -139,21 +183,14 @@ def main():
     dt = best_dt
     assert np.isfinite(chk)
     imgs_per_sec = steps * batch / dt
-    achieved_tflops = imgs_per_sec * tflop_per_img
 
+    dbl = "PASCAL 5-task" if db == "pascal" else "NYUD 4-task"
     print(json.dumps({
-        "metric": f"imgs/sec/chip ({label} PASCAL 5-task "
+        "metric": f"imgs/sec/chip ({label} {dbl} "
                   f"inference, bf16, batch {batch})",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(
-            imgs_per_sec / (TARGET_MULTIPLIER * A100_REF_IMGS_PER_SEC), 4),
-        "tflop_per_img": round(tflop_per_img, 4),
-        "achieved_tflops": round(achieved_tflops, 1),
-        "roofline_fraction": round(
-            achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4),
-        "a100_ref_derivation": "1.006 TFLOP/img / (156 TF/s TF32 * 0.30 "
-                               "eager) = 46.5 imgs/s; x3 target = 139.5",
+        **derive(imgs_per_sec, tflop_per_img),
     }))
 
 

@@ -46,6 +46,23 @@ def _gt_objects_from_batch(batch, i) -> list:
     return out
 
 
+def _local_rows(x) -> np.ndarray:
+    """Host copy of THIS process's rows of a batch-sharded array.
+
+    With nproc > 1 the jitted eval step returns global arrays (global
+    batch = local batch x nproc, assembled by
+    ``make_array_from_process_local_data``); plain ``x[i]`` indexes
+    global row i — rank 0's shard — on every process. The addressable
+    shards, concatenated in global-index order, are exactly the rows
+    this process's host batch produced (the same order
+    ``make_array_from_process_local_data`` consumed them in)."""
+    if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 class DetRecordAccumulator:
     """Per-image detection record builder for the single-pass eval: the
     caller feeds it the 3ddet head outputs already computed by the shared
@@ -63,7 +80,11 @@ class DetRecordAccumulator:
         self.records = []
 
     def add_batch(self, head_out, batch):
-        cls, bbox, dirp, ctr = head_out
+        # pull the PROCESS-LOCAL rows to host first: head_out may be
+        # global arrays under multi-process eval, and row i of the local
+        # host batch pairs with local (not global) row i
+        cls, bbox, dirp, ctr = [[_local_rows(a) for a in group]
+                                for group in head_out]
         B = batch["image"].shape[0]
         for i in range(B):
             meta = batch["meta"][i]

@@ -34,6 +34,14 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _hpb_default() -> int:
+    """Heads per (batch, head-group) program in the fused qkv kernels.
+    2 is tuned for ViT-L (16 heads, D=64); MTT_ATTN_HPB overrides for
+    shape sweeps (read at trace time)."""
+    import os
+    return int(os.environ.get("MTT_ATTN_HPB", "2"))
+
+
 # Fast softmax for the pre-norm qkv kernels: fold log2(e) into the score
 # scale and use exp2 WITHOUT the running-max subtraction. The max-reduce
 # is the one softmax op Mosaic cannot fuse into the exponentiation pass
@@ -59,11 +67,23 @@ _EXP2_CLAMP = 126.0
 _EXP2_FLOOR = -120.0
 
 
-def _safe_softmax_env() -> bool:
-    """MTT_ATTN_SAFE_SOFTMAX=1 routes the qkv kernels to the max-subtracted
-    softmax (read at trace time; changing it requires a fresh jit)."""
+def _resolve_safe(safe: Optional[bool]) -> bool:
+    """Resolve the softmax mode for the qkv kernels (read at trace time;
+    changing the env requires a fresh jit).
+
+    MTT_ATTN_SAFE_SOFTMAX, when set, overrides everything: "0" forces the
+    fast exp2 path, any other value forces the max-subtracted path.
+    Otherwise the call site decides: model code passes safe=True on
+    training forwards (train_phase traces with the exact softmax so
+    attention-logit growth past the clamp fails loud in the loss rather
+    than silently degrading toward uniform — the ViT-22B failure mode)
+    and safe=False/None on inference, where LN-boundedness of *trained*
+    ViTs licenses the fast path."""
     import os
-    return os.environ.get("MTT_ATTN_SAFE_SOFTMAX", "0") not in ("", "0")
+    env = os.environ.get("MTT_ATTN_SAFE_SOFTMAX")
+    if env is not None and env != "":
+        return env != "0"
+    return bool(safe)
 
 
 def _fast_exp2_probs(logits, safe: bool, n_keys: Optional[int] = None):
@@ -227,7 +247,7 @@ def _attn_qkv_kernel(kv_ref, o_ref, *, scale: float, D: int, hpb: int,
 
 
 def _attn_qkv_pallas(qkv, heads: int, scale: float, hpb: int = 2,
-                     interpret: bool = False):
+                     interpret: bool = False, safe: bool = False):
     B, N, C3 = qkv.shape
     D = C3 // heads // 3
     kwargs = {}
@@ -236,7 +256,7 @@ def _attn_qkv_pallas(qkv, heads: int, scale: float, hpb: int = 2,
             dimension_semantics=("parallel", "parallel"))
     return pl.pallas_call(
         functools.partial(_attn_qkv_kernel, scale=scale, D=D, hpb=hpb,
-                          safe=_safe_softmax_env()),
+                          safe=safe),
         out_shape=jax.ShapeDtypeStruct((B, N, heads * D), qkv.dtype),
         grid=(B, heads // hpb),
         in_specs=[pl.BlockSpec((1, N, hpb * 3 * D), lambda b, h: (b, 0, h))],
@@ -264,20 +284,23 @@ def _qkv_pallas_ok(qkv, heads: int, hpb: int = 2) -> bool:
             and N * N * 4 * 2 <= 12 * 2 ** 20)  # logits+probs VMEM budget
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _fused_attention_qkv(qkv, heads: int, scale: float, impl: str):
-    if impl == "pallas" and _qkv_pallas_ok(qkv, heads):
-        return _attn_qkv_pallas(qkv, heads, scale)
-    if impl == "interpret" and _qkv_pallas_ok(qkv, heads):
-        return _attn_qkv_pallas(qkv, heads, scale, interpret=True)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _fused_attention_qkv(qkv, heads: int, scale: float, impl: str,
+                         safe: bool = False):
+    hpb = _hpb_default()
+    if impl == "pallas" and _qkv_pallas_ok(qkv, heads, hpb):
+        return _attn_qkv_pallas(qkv, heads, scale, hpb=hpb, safe=safe)
+    if impl == "interpret" and _qkv_pallas_ok(qkv, heads, hpb):
+        return _attn_qkv_pallas(qkv, heads, scale, hpb=hpb, interpret=True,
+                                safe=safe)
     return _attn_qkv_xla(qkv, heads, scale)
 
 
-def _qkv_fwd(qkv, heads, scale, impl):
-    return _fused_attention_qkv(qkv, heads, scale, impl), (qkv,)
+def _qkv_fwd(qkv, heads, scale, impl, safe):
+    return _fused_attention_qkv(qkv, heads, scale, impl, safe), (qkv,)
 
 
-def _qkv_bwd(heads, scale, impl, res, g):
+def _qkv_bwd(heads, scale, impl, safe, res, g):
     (qkv,) = res
     B, N, C3 = qkv.shape
     D = C3 // heads // 3
@@ -301,7 +324,8 @@ _fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 
 
 def fused_attention_qkv(qkv, heads: int, scale: float,
-                        impl: Optional[str] = None):
+                        impl: Optional[str] = None,
+                        safe: Optional[bool] = None):
     """Attention over a fused qkv tensor in (B, N, H*3*D) head-major column
     order (each head's q, k, v are contiguous); returns (B, N, H*D) in
     standard head-concat order, ready for the output projection.
@@ -322,7 +346,7 @@ def fused_attention_qkv(qkv, heads: int, scale: float,
         impl = os.environ.get("MTT_ATTN_IMPL")
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    return _fused_attention_qkv(qkv, heads, scale, impl)
+    return _fused_attention_qkv(qkv, heads, scale, impl, _resolve_safe(safe))
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +452,8 @@ def _attn_ln_qkv_cached_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, o_ref,
 
 def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
                         eps: float, hpb: int = 2, ln: bool = True,
-                        emit: bool = False, interpret: bool = False):
+                        emit: bool = False, interpret: bool = False,
+                        safe: bool = False):
     B, N, C = x.shape
     D = w.shape[1] // heads // 3
     kwargs = {}
@@ -445,14 +470,14 @@ def _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads: int, scale: float,
     if ln and not emit:
         kern = functools.partial(
             _attn_ln_qkv_cached_kernel, scale=scale, D=D, hpb=hpb, eps=eps,
-            q_chunk=_Q_CHUNK_CACHED, safe=_safe_softmax_env())
+            q_chunk=_Q_CHUNK_CACHED, safe=safe)
         kwargs.setdefault("scratch_shapes", []).append(
             pltpu.VMEM((N, C), x.dtype) if pltpu is not None else None)
     else:
         kern = functools.partial(
             _attn_ln_qkv_kernel, scale=scale, D=D, hpb=hpb, eps=eps, ln=ln,
             q_chunk=_Q_CHUNK // 2 if emit else _Q_CHUNK,
-            safe=_safe_softmax_env())
+            safe=safe)
     out = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -482,13 +507,13 @@ def _ln_f32_full(x, gamma, beta, eps):
 
 
 def _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
-                     sub_impl: str = "xla"):
+                     sub_impl: str = "xla", safe: bool = False):
     # emit (tap) layers need qkv and LN(x) materialized in HBM for the
     # raw prompt-score decode, so LN+projection stay in XLA — but the
     # attention itself still runs through the fused qkv kernel
     xn = _ln_f32_full(x, gamma, beta, eps).astype(x.dtype)
     qkv = xn @ w + b.astype(x.dtype)
-    out = _fused_attention_qkv(qkv, heads, scale, sub_impl)
+    out = _fused_attention_qkv(qkv, heads, scale, sub_impl, safe)
     return (out, qkv, xn) if emit else out
 
 
@@ -513,7 +538,7 @@ def _attn_ln_ok(x, w, heads: int, hpb: int = 2, emit: bool = False) -> bool:
 
 
 def _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale, eps,
-                             interpret=False):
+                             hpb=2, interpret=False, safe=False):
     # two-kernel tap composition: LN(x) lands in HBM for the raw-score
     # decode; the attention kernel consumes it pre-normalized and emits
     # the qkv tensor head-major (no XLA-side matmul or layout copy)
@@ -521,33 +546,37 @@ def _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale, eps,
     xn = fused_layernorm(x, gamma, beta, eps=eps,
                          impl="interpret" if interpret else "pallas")
     out, qkv = _attn_ln_qkv_pallas(xn, gamma, beta, w, b, heads, scale,
-                                   eps, ln=False, emit=True,
-                                   interpret=interpret)
+                                   eps, hpb=hpb, ln=False, emit=True,
+                                   interpret=interpret, safe=safe)
     return out, qkv, xn
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _fused_attn_ln_qkv(x, gamma, beta, w, b, heads: int, scale: float,
-                       eps: float, emit: bool, impl: str):
-    if impl == "pallas" and _attn_ln_ok(x, w, heads, emit=emit):
+                       eps: float, emit: bool, impl: str,
+                       safe: bool = False):
+    hpb = _hpb_default()
+    if impl == "pallas" and _attn_ln_ok(x, w, heads, hpb, emit=emit):
         if not emit:
             return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
-                                       eps)
+                                       eps, hpb=hpb, safe=safe)
         return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale,
-                                        eps)
-    if impl == "interpret" and _attn_ln_ok(x, w, heads, emit=emit):
+                                        eps, hpb=hpb, safe=safe)
+    if impl == "interpret" and _attn_ln_ok(x, w, heads, hpb, emit=emit):
         if not emit:
             return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
-                                       eps, interpret=True)
+                                       eps, hpb=hpb, interpret=True,
+                                       safe=safe)
         return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale,
-                                        eps, interpret=True)
+                                        eps, hpb=hpb, interpret=True,
+                                        safe=safe)
     return _attn_ln_qkv_xla(x, gamma, beta, w, b, heads, scale, eps, emit,
-                            sub_impl=impl)
+                            sub_impl=impl, safe=safe)
 
 
-def _attn_ln_fwd(x, gamma, beta, w, b, heads, scale, eps, emit, impl):
+def _attn_ln_fwd(x, gamma, beta, w, b, heads, scale, eps, emit, impl, safe):
     out = _fused_attn_ln_qkv(x, gamma, beta, w, b, heads, scale, eps, emit,
-                             impl)
+                             impl, safe)
     return out, (x, gamma, beta, w, b)
 
 
@@ -657,9 +686,10 @@ def _bwd_pallas_ok(x, w, heads: int, hpb: int = 2) -> bool:
             and N * min(_BWD_Q_CHUNK, N) * 4 * 3 <= 10 * 2 ** 20)
 
 
-def _attn_ln_bwd(heads, scale, eps, emit, impl, res, g):
+def _attn_ln_bwd(heads, scale, eps, emit, impl, safe, res, g):
     x, gamma, beta, w, b = res
-    if impl in ("pallas", "interpret") and _bwd_pallas_ok(x, w, heads):
+    if impl in ("pallas", "interpret") and _bwd_pallas_ok(
+            x, w, heads, _hpb_default()):
         # recompute LN and qkv (MXU-fast XLA), run the attention-core
         # backward in Pallas, then close LN/projection grads in XLA
         interp = impl == "interpret"
@@ -673,7 +703,7 @@ def _attn_ln_bwd(heads, scale, eps, emit, impl, res, g):
         else:
             g_out, g_qkv, g_xn = g, None, None
         dqkv = _attn_core_bwd_pallas(qkv, g_out, heads, scale,
-                                     interpret=interp)
+                                     hpb=_hpb_default(), interpret=interp)
         if g_qkv is not None:
             dqkv = dqkv + g_qkv
         dxn = (dqkv @ w.T).astype(jnp.float32)
@@ -700,7 +730,8 @@ _fused_attn_ln_qkv.defvjp(_attn_ln_fwd, _attn_ln_bwd)
 def fused_attention_ln_qkv(x, gamma, beta, w, b, heads: int,
                            scale: Optional[float] = None, eps: float = 1e-6,
                            need_qkv: bool = False,
-                           impl: Optional[str] = None):
+                           impl: Optional[str] = None,
+                           safe: Optional[bool] = None):
     """Pre-norm attention front half over (B, N, C): softmax-attention of
     LN(x) @ w + b, with w's columns in HEAD-MAJOR (H, 3, D) order (same
     convention as fused_attention_qkv). Returns the pre-projection head
@@ -720,7 +751,7 @@ def fused_attention_ln_qkv(x, gamma, beta, w, b, heads: int,
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _fused_attn_ln_qkv(x, gamma, beta, w, b, heads, scale, eps,
-                              need_qkv, impl)
+                              need_qkv, impl, _resolve_safe(safe))
 
 
 # ---------------------------------------------------------------------------
@@ -792,6 +823,99 @@ def _window_attention_pallas(q, k, v, bias, mask, scale, nW,
     return out.reshape(BW, H, M, D).transpose(0, 2, 1, 3)
 
 
+def _wattn_bwd_kernel(q_ref, k_ref, v_ref, b_ref, m_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref, db_ref, *, scale: float):
+    """One (head, batch-window) program of the window-attention backward.
+
+    Recomputes the window's probabilities and closes dq/dk/dv in VMEM —
+    the XLA composition materialises four (BW, heads, M, M) f32 tensors
+    per Swin block (177 MB each at CS3D stage-1 shapes). The bias grad
+    accumulates into its per-head block across the (sequential) inner
+    batch-window grid axis."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    g = g_ref[0]
+    sc = jnp.asarray(scale, jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sc
+    logits = logits + b_ref[0] + m_ref[0]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    pn = e / jnp.sum(e, axis=-1, keepdims=True)          # (M, M) f32
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (M, M)
+    r = jnp.sum(dp * pn, axis=-1, keepdims=True)
+    dl = pn * (dp - r)                                   # f32
+    dlb = dl.astype(q_ref.dtype)
+    pb = pn.astype(q_ref.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dlb, k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sc).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        dlb, q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sc).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pb, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        db_ref[0] = dl
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        db_ref[0] += dl
+
+
+def _wattn_bwd_pallas(q, k, v, bias, mask, g, scale, nW, interpret=False):
+    """dq/dk/dv/dbias for window attention; dmask is NOT computed (the
+    Swin shifted-window mask is derived from window geometry, never a
+    parameter — reference taskprompter_swin.py:194-198)."""
+    BW, M, H, D = q.shape
+    qf = q.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    gf = g.transpose(0, 2, 1, 3).reshape(BW * H, M, D)
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        # h outer (parallel), bw inner (arbitrary): each head's dbias
+        # block is visited consecutively, so in-place accumulation works
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_wattn_bwd_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((BW * H, M, D), q.dtype),
+            jax.ShapeDtypeStruct((BW * H, M, D), k.dtype),
+            jax.ShapeDtypeStruct((BW * H, M, D), v.dtype),
+            jax.ShapeDtypeStruct((H, M, M), jnp.float32),
+        ],
+        grid=(H, BW),
+        in_specs=[
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda h, bw: (h, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda h, bw: (bw % nW, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, D), lambda h, bw: (bw * H + h, 0, 0)),
+            pl.BlockSpec((1, M, M), lambda h, bw: (h, 0, 0)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(qf, kf, vf, bias.astype(jnp.float32), mask.astype(jnp.float32), gf)
+    unf = lambda x: x.reshape(BW, H, M, D).transpose(0, 2, 1, 3)
+    return (unf(dq), unf(dk), unf(dv), db.astype(bias.dtype),
+            jnp.zeros_like(mask))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _fused_window_attention(q, k, v, bias, mask, scale, nW, impl):
     if impl == "pallas" and pltpu is not None:
@@ -809,6 +933,16 @@ def _wattn_fwd(q, k, v, bias, mask, scale, nW, impl):
 
 def _wattn_bwd(scale, nW, impl, res, g):
     q, k, v, bias, mask = res
+    if impl in ("pallas", "interpret") and (pltpu is not None
+                                            or impl == "interpret"):
+        m = mask
+        w = nW
+        if m is None:
+            m = jnp.zeros((1,) + bias.shape[-2:], jnp.float32)
+            w = 1
+        dq, dk, dv, db, dm = _wattn_bwd_pallas(
+            q, k, v, bias, m, g, scale, w, interpret=impl == "interpret")
+        return dq, dk, dv, db, (None if mask is None else dm)
     _, vjp = jax.vjp(
         lambda qq, kk, vv, bb, mm:
             _window_attention_xla(qq, kk, vv, bb, mm, scale, nW),

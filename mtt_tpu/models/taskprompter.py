@@ -93,15 +93,19 @@ class PromptedBlock(nn.Module):
         from mtt_tpu.kernels.attention import fused_attention_ln_qkv
         ln1 = LNParams(name="norm1")(C)
         wq, bq = _DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+        # safe softmax on training forwards (VERDICT r3 weak #5): logit
+        # growth past the exp2 clamp fails loud instead of flattening
         if need_taps:
             out, qkv, jn = fused_attention_ln_qkv(
                 joint, ln1[0], ln1[1], wq.astype(self.dtype),
-                bq.astype(self.dtype), H, D ** -0.5, need_qkv=True)
+                bq.astype(self.dtype), H, D ** -0.5, need_qkv=True,
+                safe=not deterministic)
             pn = jn[:, :P]
         else:
             out = fused_attention_ln_qkv(
                 joint, ln1[0], ln1[1], wq.astype(self.dtype),
-                bq.astype(self.dtype), H, D ** -0.5)
+                bq.astype(self.dtype), H, D ** -0.5,
+                safe=not deterministic)
             # prompt rows' LN recomputed in XLA — P rows, negligible
             from mtt_tpu.kernels.layernorm import _ln_xla
             pn = _ln_xla(joint[:, :P], ln1[0], ln1[1], 1e-6)

@@ -16,6 +16,11 @@ def _ensure_scoped_vmem_limit():
     VMEM inside the full-model program (the n-lane-padded logits block
     dominates), above the 16 MB default. Must run before libtpu loads.
     """
+    # scope the env mutation: CPU-only consumers (tests, tools under
+    # JAX_PLATFORMS=cpu) never load libtpu and must not inherit a
+    # mutated LIBTPU_INIT_ARGS into subprocesses they spawn
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return
     flag = "--xla_tpu_scoped_vmem_limit_kib=23552"
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "scoped_vmem_limit" not in cur:

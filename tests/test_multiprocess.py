@@ -1,6 +1,8 @@
 """Real 2-process jax.distributed run (tools/run_multiprocess.py):
 process-sharded loaders, cross-process GSPMD train step, globally
-merged detection eval. Spawns separate OS processes — ~2 min."""
+merged detection eval, and numerical equivalence of the sharded eval
+against a 1-process reference. Spawns separate OS processes — ~2 min
+warm-cache, ~12 min on a cold compilation cache."""
 
 import json
 import os
@@ -21,7 +23,7 @@ def test_two_process_distributed_pipeline(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_multiprocess.py"),
          "--out-dir", str(tmp_path), "--port", _free_port()],
-        capture_output=True, text=True, timeout=840,
+        capture_output=True, text=True, timeout=1800,
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert out.returncode == 0, out.stderr[-3000:]
@@ -29,3 +31,10 @@ def test_two_process_distributed_pipeline(tmp_path):
         art = json.load(f)
     assert art["process_count"] == 2
     assert art["merged_det_records"] == 6
+    # numerical equivalence vs a 1-process run on the same data: merged
+    # metrics AND per-image prediction contents (catches the r3 bug where
+    # every rank decoded rank 0's shard — counts alone cannot)
+    eq = art["init_eval_equiv_vs_1proc"]
+    assert eq["pred_files_compared"] == 6
+    assert eq["max_scalar_diff"] <= 1e-4
+    assert eq["max_pred_rel_diff"] <= 5e-3

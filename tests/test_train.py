@@ -67,6 +67,50 @@ def test_train_step_decreases_loss_dp8():
     assert np.isfinite(float(losses["total"]))
 
 
+def test_dp8_grads_match_single_device():
+    """DP-8 numerical equivalence: the sharded step's loss AND gradients
+    must equal a single-device computation on the identical global batch
+    (the DDP grad-allreduce contract, InvPT/main.py:89) within fp
+    reduction-order tolerance — liveness/finiteness alone cannot catch a
+    sharding bug. (Adam-updated params are NOT compared: g/(|g|+eps)
+    amplifies 1e-10-scale grad noise on near-zero bias grads into
+    O(lr) param drift, measured and understood.)"""
+    from mtt_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+    from mtt_tpu.losses.loss_schemes import build_criterion
+
+    assert len(jax.devices()) >= 8
+    p = tiny_config()
+    model = _model(p)
+    crit = build_criterion(p)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(params, bstats, b):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bstats}, b["image"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        return crit(out, b)["total"]
+
+    results = []
+    for n_dev in (8, 1):
+        mesh = make_mesh(n_dev)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["image"], train=False)
+        variables = jax.device_put(variables, replicated(mesh))
+        dev = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items()}
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"], variables.get("batch_stats", {}), dev)
+        results.append((float(loss), jax.device_get(grads)))
+    (l8, g8), (l1, g1) = results
+    assert l8 == pytest.approx(l1, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 1e-6 + 1e-4 * max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= tol, \
+            f"grad diff {np.abs(a - b).max()} > {tol}"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mtt_tpu.utils.train_utils import Trainer
 

@@ -23,11 +23,15 @@ import subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def child(rank: int, nproc: int, port: int, out_dir: str):
+def child(rank: int, nproc: int, port: int, out_dir: str,
+          ref_run: bool = False):
     import jax
-    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
-                               process_id=rank)
+    if nproc > 1:
+        jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                                   process_id=rank)
     assert jax.process_count() == nproc, jax.process_count()
+    from mtt_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()   # the train-step compile is ~2.5 min cold
     import numpy as np
     from tests.test_cs3d_e2e import cs3d_tiny_config
     from mtt_tpu.models.wrappers import TaskPrompterSwinNet
@@ -79,6 +83,35 @@ def child(rank: int, nproc: int, port: int, out_dir: str):
     state = trainer.init_state(sample)
     import jax.numpy as jnp  # noqa: F401
 
+    # deterministic-init eval: state depends only on PRNGKey(0) and the
+    # (shard-invariant) sample shapes, so the sharded N-process eval must
+    # reproduce a 1-process run bit-for-bit-ish — per-rank predictions
+    # decoded from the WRONG shard (the r3 det_eval mispairing) show up
+    # as per-image prediction JSON diffs here
+    scores_init = test_phase(p, trainer, state, val_loader)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("init_eval_done")
+    if rank == 0:
+        import shutil
+        for d in ("3ddet", "det_records"):
+            src = os.path.join(out_dir, d)
+            if os.path.isdir(src):
+                dst = src + "_init"
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(src, dst)
+        with open(os.path.join(out_dir, "init_eval.json"), "w") as f:
+            json.dump({
+                "mDetection_Score": scores_init["3ddet"]["mDetection_Score"],
+                "mAP": scores_init["3ddet"]["mAP"],
+                "semseg_mIoU": scores_init["semseg"]["mIoU"]}, f)
+    if nproc > 1:
+        multihost_utils.sync_global_devices("init_records_moved")
+    if ref_run:
+        print(f"[rank {rank}] ref-run init eval only: "
+              f"mDS={scores_init['3ddet']['mDetection_Score']:.4f}")
+        return
+
     # two sharded train steps (GSPMD grad averaging across processes)
     rng = jax.random.PRNGKey(0)
     it = iter(train_loader)
@@ -113,16 +146,69 @@ def child(rank: int, nproc: int, port: int, out_dir: str):
           f"merged mDS={mds:.4f}")
 
 
+def _flatten_objs(objs):
+    """Per-object comparable float vector from an official-format dict."""
+    import numpy as np
+    vals = []
+    for o in sorted(objs, key=lambda o: -o.get("score", 0.0)):
+        vals.append([o.get("score", 0.0)] + o["2d"]["modal"]
+                    + o["3d"]["center"] + o["3d"]["dimensions"]
+                    + o["3d"]["rotation"])
+    return np.asarray(vals, np.float64).reshape(len(vals), -1)
+
+
+def compare_init_evals(dir_n: str, dir_1: str) -> dict:
+    """Assert the N-process deterministic-init eval reproduces the
+    1-process reference: merged scalar metrics AND per-image prediction
+    contents (catches shard-mispairing bugs that record counts cannot)."""
+    import numpy as np
+    with open(os.path.join(dir_n, "init_eval.json")) as f:
+        s_n = json.load(f)
+    with open(os.path.join(dir_1, "init_eval.json")) as f:
+        s_1 = json.load(f)
+    max_scalar = max(abs(s_n[k] - s_1[k]) for k in s_1)
+    assert max_scalar <= 1e-4, f"init-eval metrics diverge: {s_n} vs {s_1}"
+
+    pd_n = os.path.join(dir_n, "3ddet_init")
+    pd_1 = os.path.join(dir_1, "3ddet_init")
+    files_n = sorted(os.listdir(pd_n))
+    files_1 = sorted(os.listdir(pd_1))
+    assert files_n == files_1 and files_n, (files_n, files_1)
+    max_pred = 0.0
+    n_objs = 0
+    for name in files_n:
+        with open(os.path.join(pd_n, name)) as f:
+            a = _flatten_objs(json.load(f)["objects"])
+        with open(os.path.join(pd_1, name)) as f:
+            b = _flatten_objs(json.load(f)["objects"])
+        assert a.shape == b.shape, \
+            f"{name}: {a.shape[0]} vs {b.shape[0]} predictions"
+        n_objs += a.shape[0]
+        if a.size:
+            scale = np.maximum(np.abs(b), 1.0)
+            max_pred = max(max_pred, float((np.abs(a - b) / scale).max()))
+    assert max_pred <= 5e-3, f"per-image predictions diverge: {max_pred}"
+    # a run with zero predicted objects would pass trivially — require
+    # real content (init model at score_thr 0.05 emits several per image)
+    assert n_objs > 0, "no predictions compared; check score_thr"
+    return {"max_scalar_diff": max_scalar,
+            "pred_files_compared": len(files_n),
+            "pred_objects_compared": n_objs,
+            "max_pred_rel_diff": max_pred}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--child-rank", type=int, default=None)
     ap.add_argument("--port", type=int, default=52345)
     ap.add_argument("--out-dir", default="/tmp/mtt_multiproc")
+    ap.add_argument("--ref-run", action="store_true")
     args = ap.parse_args()
 
     if args.child_rank is not None:
-        child(args.child_rank, args.nproc, args.port, args.out_dir)
+        child(args.child_rank, args.nproc, args.port, args.out_dir,
+              ref_run=args.ref_run)
         return
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
@@ -134,8 +220,22 @@ def main():
         for r in range(args.nproc)]
     rcs = [pr.wait() for pr in procs]
     assert all(rc == 0 for rc in rcs), rcs
-    with open(os.path.join(REPO, "MULTIPROC_RUN.json")) as f:
-        print("MULTIPROC_RUN.json:", f.read())
+
+    # 1-process reference on the same synthetic data + deterministic init
+    ref_dir = args.out_dir.rstrip("/") + "_ref"
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--nproc", "1",
+         "--child-rank", "0", "--out-dir", ref_dir, "--ref-run"], env=env)
+    assert r.returncode == 0, r.returncode
+    equiv = compare_init_evals(args.out_dir, ref_dir)
+    print("init-eval equivalence vs 1-process:", json.dumps(equiv))
+    art_path = os.path.join(REPO, "MULTIPROC_RUN.json")
+    with open(art_path) as f:
+        art = json.load(f)
+    art["init_eval_equiv_vs_1proc"] = equiv
+    with open(art_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print("MULTIPROC_RUN.json:", json.dumps(art))
 
 
 if __name__ == "__main__":
