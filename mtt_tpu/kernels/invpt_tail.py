@@ -1,0 +1,319 @@
+"""Fused InvPT multi-scale tail Pallas kernel (TPU) with XLA fallback.
+
+The InvPT decoder ends, per task, with
+    relu(BN(conv3x3(U8(x0) + U4(x1) + U2(x2))))
+(reference invpt.py:520-543: all stages' task features upsampled to the
+final (th, tw) grid, summed, then conv+BN+ReLU). The dense XLA path
+materialises three (B, th, tw, D) upsampled tensors plus the f32 conv
+output per task (~0.6 GB of HBM round-trips per ViT-L PASCAL bench step)
+and runs the 3x3 conv on the full-resolution sum (97.8 GFLOP/task/img).
+
+conv3x3 and bilinear upsample are both linear, so the composite factors
+per scale: conv(U_f(x)) = Sh_f^T (x @ Wk) Sw_f with the channel
+contraction at LOW resolution (upf_conv3x3_factored lineage, ~32 GFLOP
+— 3x fewer). Round 3 measured the factored XLA form SLOWER (68.7 vs
+81.4 imgs/s): it writes three f32 channel-major accumulators per task to
+HBM. This kernel is the in-VMEM version that r3's PERF.md names as the
+successor: per (batch, out-channel-chunk, row-strip) grid cell the
+channel dot, both shifted-upsample mixes, the cross-scale sum and the
+BN+ReLU epilogue all stay in VMEM; only the final bf16 NHWC strip
+reaches HBM.
+
+Layout notes (same constraints as head_up4.py): the width mix runs as
+h'-batched dots (batch dim 0), the height mix as dim0-contracting strip
+dots; the two small scales' width-mixed slabs are computed once per
+(b, j) at strip 0 and cached in scratch; the large scale is pre-sliced
+into overlapping row slabs OUTSIDE the kernel (BlockSpecs cannot express
+halo windows) so each strip's block arrives by plain indexing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled builds
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _shift_stack(g: int, f: int) -> np.ndarray:
+    """(g, 3, f*g) composite weights: S[w, l, W] = weight of low-res
+    index w, conv tap l in output index W of conv3x3(U_f(x)) along one
+    axis (upf_conv3x3_factored's matrices, models/layers.py)."""
+    from mtt_tpu.models.layers import _upf_shift_stack_np
+    return _upf_shift_stack_np(g, f)
+
+
+def _strip_windows(g: int, f: int, th: int, n_strips: int):
+    """Per-strip h' windows [start, start+slab) covering every nonzero
+    Sh coefficient for that strip's output rows; None when a uniform
+    static slab cannot cover the support (caller falls back)."""
+    S = _shift_stack(g, f)                       # (h', k, th)
+    sh_rows = th // n_strips
+    los, his = [], []
+    for t in range(n_strips):
+        cols = S[:, :, t * sh_rows:(t + 1) * sh_rows]
+        nz = np.where(np.abs(cols).max(axis=(1, 2)) > 1e-12)[0]
+        if len(nz) == 0:
+            return None
+        los.append(int(nz[0]))
+        his.append(int(nz[-1]) + 1)
+    slab = max(h - l for l, h in zip(los, his))
+    starts = [min(max(l, 0), g - slab) for l in los]
+    for t in range(n_strips):
+        if not (starts[t] <= los[t] and his[t] <= starts[t] + slab):
+            return None
+    return starts, slab, sh_rows
+
+
+def _tail_kernel(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
+                 sw2_ref, sht0_ref, sht1_ref, sht2s_ref, inv_ref,
+                 addv_ref, o_ref, bk0_ref, bk1_ref, *, C: int,
+                 g0: Tuple[int, int], g1: Tuple[int, int],
+                 g2: Tuple[int, int], slab2: int, sh_rows: int, tw: int):
+    strip = pl.program_id(2)
+
+    def _gm(x2d, rows):
+        """Channel contraction in row chunks: (rows, C) @ (C, 1152) with
+        the f32 transient bounded to one chunk."""
+        nch = max(rows // 256, 1)
+        while rows % nch:          # chunks must tile the rows exactly
+            nch -= 1
+        ch = rows // nch
+        outs = []
+        for i in range(nch):
+            d = jax.lax.dot_general(
+                x2d[i * ch:(i + 1) * ch], wf_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(d.astype(x2d.dtype))
+        return jnp.concatenate(outs, axis=0) if nch > 1 else outs[0]
+
+    def _wmix(gm3, sw_ref, gh, gw):
+        """gm3 (gh, gw, 9*128) -> [bk_k (gh, tw, 128) bf16 for k in 0..2]
+        via h'-batched dots contracting the low-res width."""
+        out = []
+        for k in range(3):
+            acc = jnp.zeros((gh, tw, 128), jnp.float32)
+            for l in range(3):
+                a_kl = gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+                swb = jnp.broadcast_to(sw_ref[l][None], (gh, tw, gw))
+                acc += jax.lax.dot_general(
+                    swb, a_kl, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            out.append(acc.astype(gm3.dtype))
+        return out
+
+    # small scales: width-mixed slabs computed once per (b, j), cached
+    @pl.when(strip == 0)
+    def _():
+        gm0 = _gm(x0_ref[0].reshape(g0[0] * g0[1], C), g0[0] * g0[1])
+        for k, bk in enumerate(_wmix(gm0.reshape(g0[0], g0[1], 9 * 128),
+                                     sw0_ref, g0[0], g0[1])):
+            bk0_ref[k] = bk
+        gm1 = _gm(x1_ref[0].reshape(g1[0] * g1[1], C), g1[0] * g1[1])
+        for k, bk in enumerate(_wmix(gm1.reshape(g1[0], g1[1], 9 * 128),
+                                     sw1_ref, g1[0], g1[1])):
+            bk1_ref[k] = bk
+
+    # large scale: this strip's pre-sliced slab
+    gm2 = _gm(x2s_ref[0, 0].reshape(slab2 * g2[1], C), slab2 * g2[1])
+    bk2 = _wmix(gm2.reshape(slab2, g2[1], 9 * 128), sw2_ref, slab2, g2[1])
+
+    y = jnp.zeros((sh_rows, tw, 128), jnp.float32)
+    c0 = strip * sh_rows
+    for k in range(3):
+        # height mixes: dim0-contracting strip dots (K = low-res rows)
+        y += jax.lax.dot_general(
+            sht0_ref[k, :, pl.ds(c0, sh_rows)], bk0_ref[k],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(
+            sht1_ref[k, :, pl.ds(c0, sh_rows)], bk1_ref[k],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(
+            sht2s_ref[0, k], bk2[k],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    ivec = inv_ref[0]
+    avec = addv_ref[0]
+    o_ref[0, 0] = jnp.maximum(
+        y * ivec[None, None, :] + avec[None, None, :], 0.0
+    ).astype(o_ref.dtype)
+
+
+def _tail_plan(shapes, th: int, tw: int, n_strips: int = 8):
+    """Static strip plan for the three scales; None -> fall back."""
+    (h0, w0), (h1, w1), (h2, w2) = shapes
+    if th % n_strips:
+        return None
+    fs = []
+    for (h, w) in shapes:
+        if th % h or tw % w or th // h != tw // w:
+            return None
+        fs.append(th // h)
+    win2 = _strip_windows(h2, fs[2], th, n_strips)
+    if win2 is None:
+        return None
+    return fs, win2
+
+
+def _tail_pallas(xs, kc, inv, addv, th, tw, interpret=False,
+                 n_strips: int = 8):
+    x0, x1, x2 = xs
+    B = x0.shape[0]
+    C = x0.shape[-1]
+    dt = x0.dtype
+    plan = _tail_plan([x.shape[1:3] for x in xs], th, tw, n_strips)
+    fs, (starts2, slab2, sh_rows) = plan
+    g0, g1, g2 = [x.shape[1:3] for x in xs]
+    D = kc.shape[-1]
+    nj = -(-D // 128)
+    DP = nj * 128
+
+    # Wf columns ordered (chunk j, tap k, tap l, ds)
+    kpad = jnp.pad(kc.astype(dt), ((0, 0), (0, 0), (0, 0), (0, DP - D)))
+    Wf = kpad.transpose(2, 0, 1, 3).reshape(C, 3, 3, nj, 128) \
+        .transpose(0, 3, 1, 2, 4).reshape(C, nj * 1152)
+
+    sws, shts = [], []
+    for (gh, gw), f in zip((g0, g1, g2), fs):
+        Sw = _shift_stack(gw, f)                  # (w, l, tw)
+        Sh = _shift_stack(gh, f)                  # (h, k, th)
+        sws.append(jnp.asarray(Sw.transpose(1, 2, 0), dt))   # (l, tw, w)
+        shts.append(jnp.asarray(Sh.transpose(1, 0, 2), dt))  # (k, h, th)
+    # large scale: pre-sliced x2 row slabs + matching Sh slices
+    x2s = jnp.stack([jax.lax.slice_in_dim(x2, s, s + slab2, axis=1)
+                     for s in starts2], axis=1)  # (B, T, slab2, w2, C)
+    Sh2 = _shift_stack(g2[0], fs[2])
+    sht2s = jnp.asarray(np.stack(
+        [Sh2[s:s + slab2, :, t * sh_rows:(t + 1) * sh_rows]
+         for t, s in enumerate(starts2)], axis=0), dt) \
+        .transpose(0, 2, 1, 3)                    # (T, k, slab2, sh)
+
+    invp = jnp.pad(inv.astype(jnp.float32), (0, DP - D)).reshape(1, DP)
+    addvp = jnp.pad(addv.astype(jnp.float32), (0, DP - D)).reshape(1, DP)
+
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    scratch = [pltpu.VMEM((3, g0[0], tw, 128), dt),
+               pltpu.VMEM((3, g1[0], tw, 128), dt)] \
+        if pltpu is not None else [None, None]
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, C=C, g0=g0, g1=g1, g2=g2,
+                          slab2=slab2, sh_rows=sh_rows, tw=tw),
+        out_shape=jax.ShapeDtypeStruct((B, n_strips, sh_rows, tw, DP), dt),
+        grid=(B, nj, n_strips),
+        in_specs=[
+            pl.BlockSpec((1,) + g0 + (C,), lambda b, j, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1,) + g1 + (C,), lambda b, j, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, slab2, g2[1], C),
+                         lambda b, j, t: (b, t, 0, 0, 0)),
+            pl.BlockSpec((C, 1152), lambda b, j, t: (0, j)),
+            pl.BlockSpec((3, tw, g0[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, tw, g1[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, tw, g2[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, g0[0], th), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, g1[0], th), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((1, 3, slab2, sh_rows),
+                         lambda b, j, t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, sh_rows, tw, 128),
+                               lambda b, j, t: (b, t, 0, 0, j)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(x0, x1, x2s, Wf, sws[0], sws[1], sws[2], shts[0], shts[1], sht2s,
+      invp, addvp)
+    out = out.reshape(B, th, tw, DP)
+    return out[..., :D]
+
+
+def _tail_xla(xs, kc, inv, addv, th, tw):
+    """Dense reference composition (the model's eval-mode tail math)."""
+    from mtt_tpu.models.layers import interpolate
+    dt = xs[0].dtype
+    acc = 0.0
+    for x in xs:
+        acc = acc + interpolate(x, (th, tw), "bilinear")
+    xc = jax.lax.conv_general_dilated(
+        acc.astype(dt), kc.astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = xc.astype(jnp.float32) * inv[None, None, None, :] \
+        + addv[None, None, None, :]
+    return jnp.maximum(y, 0.0).astype(dt)
+
+
+def _ok(xs, kc, th, tw) -> bool:
+    C = xs[0].shape[-1]
+    D = kc.shape[-1]
+    if C != kc.shape[2] or any(x.shape[-1] != C for x in xs):
+        return False
+    plan = _tail_plan([x.shape[1:3] for x in xs], th, tw)
+    if plan is None:
+        return False
+    fs, (starts2, slab2, sh_rows) = plan
+    g0, g1, g2 = [x.shape[1:3] for x in xs]
+    # VMEM estimate (bytes, bf16 unless noted): resident x0/x1 + x2 slab
+    # + Wf (dbuf) + bk scratches + f32 y/gm transients + out strip (dbuf)
+    it = 2
+    vmem = (g0[0] * g0[1] * C * it + g1[0] * g1[1] * C * it
+            + 2 * slab2 * g2[1] * C * it + 2 * C * 1152 * it
+            + 3 * (g0[0] + g1[0] + slab2) * tw * 128 * it
+            + slab2 * g2[1] * 1152 * it + 256 * 1152 * 4
+            + sh_rows * tw * 128 * 4 + 2 * sh_rows * tw * 128 * it)
+    return vmem <= 21 * 2 ** 20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_tail(xs, kc, inv, addv, th: int, tw: int, impl: str):
+    # bf16-only on hardware: an f32 model doubles every block past the
+    # scoped-VMEM budget (interpret mode on CPU tests takes any dtype)
+    if impl == "pallas" and pltpu is not None \
+            and xs[0].dtype == jnp.bfloat16 and _ok(xs, kc, th, tw):
+        return _tail_pallas(xs, kc, inv, addv, th, tw)
+    if impl == "interpret" and _ok(xs, kc, th, tw):
+        return _tail_pallas(xs, kc, inv, addv, th, tw, interpret=True)
+    return _tail_xla(xs, kc, inv, addv, th, tw)
+
+
+def _tail_fwd(xs, kc, inv, addv, th, tw, impl):
+    return _fused_tail(xs, kc, inv, addv, th, tw, impl), (xs, kc, inv, addv)
+
+
+def _tail_bwd(th, tw, impl, res, g):
+    xs, kc, inv, addv = res
+    _, vjp = jax.vjp(lambda *a: _tail_xla(a[:3], a[3], a[4], a[5], th, tw),
+                     *xs, kc, inv, addv)
+    grads = vjp(g)
+    return (tuple(grads[:3]), grads[3], grads[4], grads[5])
+
+
+_fused_tail.defvjp(_tail_fwd, _tail_bwd)
+
+
+def fused_ms_tail(xs: Sequence[jax.Array], kc, inv, addv, th: int, tw: int,
+                  impl: Optional[str] = None):
+    """relu(affine(conv3x3(sum_s upsample_{f_s}(xs[s])))) at (th, tw).
+
+    xs: three NHWC feature maps at (th/f, tw/f) for integer f per scale
+    (InvPT: f = 8, 4, 2); kc: (3, 3, C, D); inv/addv: (D,) f32 folded-BN
+    affine. Exact vs the dense composition up to bf16 rounding (the
+    factored algebra is exact; upf parity tests pin the upsample
+    matrices). Returns (B, th, tw, D) in the input dtype.
+    """
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_TAIL_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _fused_tail(tuple(xs), kc, inv, addv, th, tw, impl)

@@ -351,6 +351,21 @@ class InvPTDecoder(nn.Module):
         for t in self.tasks:
             kc, gamma, beta, ra_mean, ra_var = _MtProjParams(
                 D, D, name=f"mt_proj_{t}")()
+            if not train and not factored and len(stage_tx[t]) == 3:
+                # in-VMEM fused tail (kernels/invpt_tail.py): channel
+                # contraction at each stage's own resolution, upsample
+                # mixes + cross-scale sum + folded-BN ReLU in VMEM —
+                # the dense path's three upsampled (B, th, tw, D)
+                # tensors and f32 conv output never reach HBM. Falls
+                # back internally to the identical dense composition.
+                from mtt_tpu.kernels.invpt_tail import fused_ms_tail
+                m, v = (ra_mean.value.astype(jnp.float32),
+                        ra_var.value.astype(jnp.float32))
+                inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+                addv = beta.astype(jnp.float32) - m * inv
+                out[t] = fused_ms_tail(tuple(stage_tx[t]), kc, inv, addv,
+                                       th, tw)
+                continue
             if factored:
                 Y = 0.0
                 for txi in stage_tx[t]:

@@ -322,6 +322,26 @@ class TestRound3KernelsOnTPU:
             q, k, v, bias, mask, D ** -0.5, nW, impl="pallas"), np.float32)
         np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
 
+    def test_invpt_tail_pallas_vs_xla(self):
+        """Fused multi-scale tail at the InvPT PASCAL bench shapes
+        (th=tw=128, scales 16/32/64, C=D=576, bf16)."""
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.invpt_tail import (_ok, _tail_xla,
+                                                fused_ms_tail)
+        rng = _rng(26)
+        th = tw = 128
+        C = D = 576
+        xs = [jnp.asarray(rng.normal(size=(2, th // f, tw // f, C)) * 0.2,
+                          jnp.bfloat16) for f in (8, 4, 2)]
+        kc = jnp.asarray(rng.normal(size=(3, 3, C, D)) * 0.02, jnp.float32)
+        inv = jnp.asarray(1.0 + 0.1 * rng.normal(size=(D,)), jnp.float32)
+        addv = jnp.asarray(0.1 * rng.normal(size=(D,)), jnp.float32)
+        assert _ok(xs, kc, th, tw)
+        ref = np.asarray(_tail_xla(xs, kc, inv, addv, th, tw), np.float32)
+        got = np.asarray(fused_ms_tail(xs, kc, inv, addv, th, tw,
+                                       impl="pallas"), np.float32)
+        np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+
     def test_window_attention_backward_pallas_vs_xla(self):
         import jax
         import jax.numpy as jnp
