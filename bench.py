@@ -62,7 +62,7 @@ _DBS = {
 
 _XLA_IMPL_ENV = {"MTT_ATTN_IMPL": "xla", "MTT_MLP_IMPL": "xla",
                  "MTT_LN_IMPL": "xla", "MTT_DECODE_IMPL": "xla",
-                 "MTT_HEAD_KERNEL_IMPL": "xla"}
+                 "MTT_HEAD_KERNEL_IMPL": "xla", "MTT_TAIL_IMPL": "xla"}
 
 
 def xla_flops(fn, *args) -> float:

@@ -128,14 +128,17 @@ def _tail_kernel(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
     bk2 = _wmix(gm2.reshape(slab2, g2[1], 9 * 128), sw2_ref, slab2, g2[1])
 
     y = jnp.zeros((sh_rows, tw, 128), jnp.float32)
-    c0 = strip * sh_rows
     for k in range(3):
-        # height mixes: dim0-contracting strip dots (K = low-res rows)
+        # height mixes: dim0-contracting strip dots (K = low-res rows).
+        # All three Sh operands arrive PRE-SLICED per strip via their
+        # BlockSpecs — an in-kernel pl.ds on the lane dim at a
+        # non-128-multiple offset fails Mosaic lowering ("cannot
+        # statically prove that index ... is a multiple of 128").
         y += jax.lax.dot_general(
-            sht0_ref[k, :, pl.ds(c0, sh_rows)], bk0_ref[k],
+            sht0_ref[0, k], bk0_ref[k],
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         y += jax.lax.dot_general(
-            sht1_ref[k, :, pl.ds(c0, sh_rows)], bk1_ref[k],
+            sht1_ref[0, k], bk1_ref[k],
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         y += jax.lax.dot_general(
             sht2s_ref[0, k], bk2[k],
@@ -186,7 +189,13 @@ def _tail_pallas(xs, kc, inv, addv, th, tw, interpret=False,
         Sw = _shift_stack(gw, f)                  # (w, l, tw)
         Sh = _shift_stack(gh, f)                  # (h, k, th)
         sws.append(jnp.asarray(Sw.transpose(1, 2, 0), dt))   # (l, tw, w)
-        shts.append(jnp.asarray(Sh.transpose(1, 0, 2), dt))  # (k, h, th)
+        # pre-sliced per strip (T, k, h, sh_rows): the strip slice must
+        # happen in the BlockSpec, not in-kernel (lane-dim pl.ds at a
+        # non-128-multiple offset fails Mosaic lowering)
+        shts.append(jnp.asarray(np.stack(
+            [Sh[:, :, t * sh_rows:(t + 1) * sh_rows]
+             for t in range(n_strips)], axis=0), dt)
+            .transpose(0, 2, 1, 3))               # (T, k, h, sh)
     # large scale: pre-sliced x2 row slabs + matching Sh slices
     x2s = jnp.stack([jax.lax.slice_in_dim(x2, s, s + slab2, axis=1)
                      for s in starts2], axis=1)  # (B, T, slab2, w2, C)
@@ -220,8 +229,10 @@ def _tail_pallas(xs, kc, inv, addv, th, tw, interpret=False,
             pl.BlockSpec((3, tw, g0[1]), lambda b, j, t: (0, 0, 0)),
             pl.BlockSpec((3, tw, g1[1]), lambda b, j, t: (0, 0, 0)),
             pl.BlockSpec((3, tw, g2[1]), lambda b, j, t: (0, 0, 0)),
-            pl.BlockSpec((3, g0[0], th), lambda b, j, t: (0, 0, 0)),
-            pl.BlockSpec((3, g1[0], th), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((1, 3, g0[0], sh_rows),
+                         lambda b, j, t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 3, g1[0], sh_rows),
+                         lambda b, j, t: (t, 0, 0, 0)),
             pl.BlockSpec((1, 3, slab2, sh_rows),
                          lambda b, j, t: (t, 0, 0, 0)),
             pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),

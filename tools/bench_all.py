@@ -26,15 +26,26 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench_py(extra_env):
+def run_bench_py(extra_env, tries=3):
     env = dict(os.environ, **extra_env)
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True, timeout=900)
-    for line in out.stdout.splitlines()[::-1]:
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"bench.py produced no JSON: {out.stdout[-2000:]}\n"
-                       f"{out.stderr[-2000:]}")
+    last = None
+    for attempt in range(tries):
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             timeout=900)
+        for line in out.stdout.splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)
+        last = (f"bench.py produced no JSON: {out.stdout[-2000:]}\n"
+                f"{out.stderr[-2000:]}")
+        # the remote-TPU tunnel intermittently fails backend init with
+        # "unexpected worker hostname ... TPU_WORKER_HOSTNAMES"; a short
+        # wait and retry recovers it
+        if "TPU_WORKER_HOSTNAMES" not in last and \
+                "could not determine TPU worker" not in last:
+            break
+        time.sleep(20 * (attempt + 1))
+    raise RuntimeError(last)
 
 
 def bench_swin_cs3d(steps=10):

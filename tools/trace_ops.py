@@ -24,9 +24,10 @@ def capture(tdir: str, steps: int):
     enable_compilation_cache()
     from mtt_tpu.models.wrappers import TaskPrompterNet, TransformerNet
 
-    tasks = ("semseg", "human_parts", "sal", "edge", "normals")
-    num_out = {"semseg": 21, "human_parts": 7, "sal": 2, "edge": 1,
-               "normals": 3}
+    from bench import _DBS
+    rec = _DBS[os.environ.get("MTT_BENCH_DB", "pascal")]
+    tasks, num_out = rec["tasks"], rec["num_out"]
+    bh, bw = rec["size"]
     if os.environ.get("MTT_BENCH_MODEL") == "swin":
         from mtt_tpu.config import create_config
         from mtt_tpu.models.wrappers import build_model
@@ -67,7 +68,7 @@ def capture(tdir: str, steps: int):
             tar_dim=300, final_dim=350, use_ctr=True, chan_nheads=1,
             dtype=jnp.bfloat16)
     x = jnp.zeros((int(os.environ.get("MTT_BENCH_BATCH", "8")),
-                   512, 512, 3), jnp.float32)
+                   bh, bw, 3), jnp.float32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     v = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
                      if a.dtype == jnp.float32 else a, v)
