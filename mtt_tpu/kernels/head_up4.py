@@ -44,16 +44,29 @@ except ImportError:  # pragma: no cover
 from mtt_tpu.kernels.mlp import _gelu_erf_poly
 
 
+def _gm_hc(gh: int, gw: int):
+    """h-rows per Gm chunk: must divide gh, and hc*gw (the dynamic
+    sublane write offset stride into the flat gm scratch) must be a
+    multiple of 8 or Mosaic rejects the store. Prefer the largest such
+    divisor <= gh//4 (bounds the f32 chunk transient); None -> caller
+    falls back to XLA."""
+    cands = [h for h in range(1, gh + 1)
+             if gh % h == 0 and (h * gw) % 8 == 0]
+    if not cands:
+        return None
+    small = [h for h in cands if h <= max(gh // 4, 1)]
+    return max(small) if small else min(cands)
+
+
 def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
-                 kp_ref, o_ref, gm_ref, bk_ref, *, n: int, C: int, G: int,
-                 n_strips: int):
+                 kp_ref, o_ref, gm_ref, bk_ref, *, n: int, C: int, gh: int,
+                 gw: int, hc: int, n_strips: int):
     j = pl.program_id(1)
-    W4 = 4 * G
+    W4 = 4 * gw
     # Gm in sequential row chunks via fori_loop (an unrolled chunk loop
     # gets software-pipelined by Mosaic — all chunk transients co-live
     # and the f32 peak is as bad as one full-size dot)
-    hc = max(G // 4, 1)                      # h-rows per chunk
-    rc = hc * G
+    rc = hc * gw
 
     def _gm_chunk(i, carry):
         xr = x_ref[0, pl.ds(i * hc, hc)].reshape(rc, C)
@@ -63,12 +76,13 @@ def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
         gm_ref[pl.ds(i * rc, rc)] = ch.astype(jnp.bfloat16)
         return carry
 
-    jax.lax.fori_loop(0, G // hc, _gm_chunk, 0)
-    gm = gm_ref[...].reshape(G, G, 9 * 128)
+    jax.lax.fori_loop(0, gh // hc, _gm_chunk, 0)
+    gm = gm_ref[...].reshape(gh, gw, 9 * 128)
     # width mix, h'-batched per (tap k, tap l): Bk[k] = sum_l Sw_l-mix
-    swb = [jnp.broadcast_to(swt_ref[l][None], (G, W4, G)) for l in range(3)]
+    swb = [jnp.broadcast_to(swt_ref[l][None], (gh, W4, gw))
+           for l in range(3)]
     for k in range(3):
-        acc = jnp.zeros((G, W4, 128), jnp.float32)
+        acc = jnp.zeros((gh, W4, 128), jnp.float32)
         for l in range(3):
             a_kl = gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
             acc += jax.lax.dot_general(
@@ -77,7 +91,7 @@ def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
         bk_ref[k] = acc.astype(jnp.bfloat16)          # (h', W, ds)
     ivec = inv_ref[0]
     avec = addv_ref[0]
-    sh = 4 * G // n_strips
+    sh = 4 * gh // n_strips
     for s in range(n_strips):
         y = jnp.zeros((sh, W4, 128), jnp.float32)
         for k in range(3):                            # height mix
@@ -149,15 +163,14 @@ def _hmix_stencil_np(G: int):
 
 def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
                          kp_ref, o_ref, gm_ref, bk_ref, *, n: int, C: int,
-                         G: int, c_int, cb0, cb1):
+                         gh: int, gw: int, hc: int, c_int, cb0, cb1):
     """Stencil variant of the height mix: the 12 dim0-contracting Mosaic
     dots (internal relayouts, ~1.2 ms/head) become ~30 VPU slab
     multiply-adds on outer-dim-shifted Bk slabs; output is phase-major
     (p, q, W, ds) so the 1x1 rows flatten for free."""
     j = pl.program_id(1)
-    W4 = 4 * G
-    hc = max(G // 4, 1)
-    rc = hc * G
+    W4 = 4 * gw
+    rc = hc * gw
 
     def _gm_chunk(i, carry):
         xr = x_ref[0, pl.ds(i * hc, hc)].reshape(rc, C)
@@ -167,11 +180,12 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
         gm_ref[pl.ds(i * rc, rc)] = ch.astype(jnp.bfloat16)
         return carry
 
-    jax.lax.fori_loop(0, G // hc, _gm_chunk, 0)
-    gm = gm_ref[...].reshape(G, G, 9 * 128)
-    swb = [jnp.broadcast_to(swt_ref[l][None], (G, W4, G)) for l in range(3)]
+    jax.lax.fori_loop(0, gh // hc, _gm_chunk, 0)
+    gm = gm_ref[...].reshape(gh, gw, 9 * 128)
+    swb = [jnp.broadcast_to(swt_ref[l][None], (gh, W4, gw))
+           for l in range(3)]
     for k in range(3):
-        acc = jnp.zeros((G, W4, 128), jnp.float32)
+        acc = jnp.zeros((gh, W4, 128), jnp.float32)
         for l in range(3):
             a_kl = gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
             acc += jax.lax.dot_general(
@@ -181,23 +195,23 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
     ivec = inv_ref[0]
     avec = addv_ref[0]
     for p in range(4):
-        y = jnp.zeros((G, W4, 128), jnp.float32)
+        y = jnp.zeros((gh, W4, 128), jnp.float32)
         for k in range(3):
-            bk_k = bk_ref[k].astype(jnp.float32)      # (G, W, ds)
+            bk_k = bk_ref[k].astype(jnp.float32)      # (gh, W, ds)
             for di, d in enumerate((-1, 0, 1)):
                 c = float(c_int[p, k, di])
                 if abs(c) < 1e-12:
                     continue
                 # y[q] += c * bk_k[q + d]: shift along the OUTER dim via
                 # slice + zero-row concat (scatter-add has no Mosaic
-                # lowering); border rows q=0/G-1 are overwritten below
+                # lowering); border rows q=0/gh-1 are overwritten below
                 z = jnp.zeros((1, W4, 128), jnp.float32)
                 if d == 0:
                     y = y + c * bk_k
                 elif d == 1:
                     y = y + c * jnp.concatenate([bk_k[1:], z], axis=0)
                 else:
-                    y = y + c * jnp.concatenate([z, bk_k[:G - 1]], axis=0)
+                    y = y + c * jnp.concatenate([z, bk_k[:gh - 1]], axis=0)
         row0 = jnp.zeros((1, W4, 128), jnp.float32)
         rowl = jnp.zeros((1, W4, 128), jnp.float32)
         for k in range(3):
@@ -208,22 +222,22 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
                     row0 = row0 + c0 * bk_ref[k, hi:hi + 1].astype(
                         jnp.float32)
                 if abs(cl) > 1e-12:
-                    rowl = rowl + cl * bk_ref[k, G - 3 + hi:G - 2 + hi] \
+                    rowl = rowl + cl * bk_ref[k, gh - 3 + hi:gh - 2 + hi] \
                         .astype(jnp.float32)
-        y = jnp.concatenate([row0, y[1:G - 1], rowl], axis=0)
+        y = jnp.concatenate([row0, y[1:gh - 1], rowl], axis=0)
         t = _gelu_erf_poly(y * ivec[None, None, :] + avec[None, None, :])
-        tv = t.astype(jnp.bfloat16).reshape(G * W4, 128)
+        tv = t.astype(jnp.bfloat16).reshape(gh * W4, 128)
         part = jax.lax.dot_general(tv, kp_ref[...], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
         @pl.when(j == 0)
         def _():
-            o_ref[0, p] = part.reshape(G, W4, n).astype(o_ref.dtype)
+            o_ref[0, p] = part.reshape(gh, W4, n).astype(o_ref.dtype)
 
         @pl.when(j != 0)
         def _():
             o_ref[0, p] = (o_ref[0, p].astype(jnp.float32)
-                           + part.reshape(G, W4, n)).astype(o_ref.dtype)
+                           + part.reshape(gh, W4, n)).astype(o_ref.dtype)
 
 
 def _head_kernel_stencil2(x_ref, wf_ref, inv_ref, addv_ref, kp_ref, o_ref,
@@ -328,9 +342,11 @@ def _head_kernel_stencil2(x_ref, wf_ref, inv_ref, addv_ref, kp_ref, o_ref,
 
 
 def _head_pallas(x, kc, inv, addv, kp, interpret=False):
-    B, G, G2, C = x.shape
+    B, Gh, Gw, C = x.shape
     n = kp.shape[-1]
-    W4 = 4 * G
+    W4 = 4 * Gw
+    H4 = 4 * Gh
+    hc = _gm_hc(Gh, Gw)
     dt = x.dtype
     DP = -(-C // 128) * 128
     nj = DP // 128
@@ -339,9 +355,10 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
     # Wf columns ordered (chunk j, tap k, tap l, ds)
     Wf = kpad.transpose(2, 0, 1, 3).reshape(C, 3, 3, nj, 128) \
         .transpose(0, 3, 1, 2, 4).reshape(C, nj * 1152)
-    S = _up4_shift_stack_np(G)                        # (g, 3, 4g)
-    swt = jnp.asarray(S.transpose(1, 2, 0), dt)       # (l, W4, w')
-    sht = jnp.asarray(S.transpose(1, 0, 2), dt)       # (k, h', H4)
+    Sw = _up4_shift_stack_np(Gw)                      # (w', l, 4gw)
+    Sh = _up4_shift_stack_np(Gh)                      # (h', k, 4gh)
+    swt = jnp.asarray(Sw.transpose(1, 2, 0), dt)      # (l, W4, w')
+    sht = jnp.asarray(Sh.transpose(1, 0, 2), dt)      # (k, h', H4)
     invp = jnp.pad(inv.astype(jnp.float32), (0, DP - C)).reshape(1, DP)
     addvp = jnp.pad(addv.astype(jnp.float32), (0, DP - C)).reshape(1, DP)
     kpp = jnp.pad(kp.astype(dt), ((0, DP - C), (0, 0)))
@@ -349,17 +366,18 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
     if not interpret and pltpu is not None:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"))
-    scratch = [pltpu.VMEM((G * G, 1152), jnp.bfloat16),
-               pltpu.VMEM((3, G, W4, 128), jnp.bfloat16)] \
+    scratch = [pltpu.VMEM((Gh * Gw, 1152), jnp.bfloat16),
+               pltpu.VMEM((3, Gh, W4, 128), jnp.bfloat16)] \
         if pltpu is not None else [None, None]
     import os
-    c_int, cb0, cb1, st_ok = _hmix_stencil_np(G)
+    c_int, cb0, cb1, st_ok = _hmix_stencil_np(Gh)
     # "stencil" (H-mix stencil, W-mix batched dots) measures fastest:
     # 141.4 imgs/s headline vs 138.2 for "stencil2" (both mixes as
     # stencils — the sublane pltpu.rolls of the width pass cost more than
     # the 25%-MXU batched dots they replace) vs 134.4 for "dots".
     s2 = os.environ.get("MTT_HEAD_S2", "stencil")
-    if st_ok and s2 == "stencil2":
+    if st_ok and s2 == "stencil2" and Gh == Gw:
+        G = Gh                                 # square-only variant
         out = pl.pallas_call(
             functools.partial(_head_kernel_stencil2, n=n, C=C, G=G,
                               c_int=c_int, cb0=cb0, cb1=cb1),
@@ -386,41 +404,42 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
         return out.astype(jnp.float32)
     if st_ok and s2 == "stencil":
         out = pl.pallas_call(
-            functools.partial(_head_kernel_stencil, n=n, C=C, G=G,
-                              c_int=c_int, cb0=cb0, cb1=cb1),
-            out_shape=jax.ShapeDtypeStruct((B, 4, G, W4, n), jnp.bfloat16),
+            functools.partial(_head_kernel_stencil, n=n, C=C, gh=Gh, gw=Gw,
+                              hc=hc, c_int=c_int, cb0=cb0, cb1=cb1),
+            out_shape=jax.ShapeDtypeStruct((B, 4, Gh, W4, n), jnp.bfloat16),
             grid=(B, nj),
             in_specs=[
-                pl.BlockSpec((1, G, G, C), lambda b, j: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Gh, Gw, C), lambda b, j: (b, 0, 0, 0)),
                 pl.BlockSpec((C, 1152), lambda b, j: (0, j)),
-                pl.BlockSpec((3, W4, G), lambda b, j: (0, 0, 0)),
+                pl.BlockSpec((3, W4, Gw), lambda b, j: (0, 0, 0)),
                 pl.BlockSpec((1, 128), lambda b, j: (0, j)),
                 pl.BlockSpec((1, 128), lambda b, j: (0, j)),
                 pl.BlockSpec((128, n), lambda b, j: (j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 4, G, W4, n),
+            out_specs=pl.BlockSpec((1, 4, Gh, W4, n),
                                    lambda b, j: (b, 0, 0, 0, 0)),
             scratch_shapes=scratch,
             interpret=interpret,
             **kwargs,
         )(x, Wf, swt, invp, addvp, kpp)
         # phase-major (B, p, q, W, n) -> (B, 4q+p = H, W, n)
-        out = out.transpose(0, 2, 1, 3, 4).reshape(B, W4, W4, n)
+        out = out.transpose(0, 2, 1, 3, 4).reshape(B, H4, W4, n)
         return out.astype(jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_head_kernel, n=n, C=C, G=G, n_strips=8),
-        out_shape=jax.ShapeDtypeStruct((B, W4, W4, n), jnp.bfloat16),
+        functools.partial(_head_kernel, n=n, C=C, gh=Gh, gw=Gw, hc=hc,
+                          n_strips=8),
+        out_shape=jax.ShapeDtypeStruct((B, H4, W4, n), jnp.bfloat16),
         grid=(B, nj),
         in_specs=[
-            pl.BlockSpec((1, G, G, C), lambda b, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Gh, Gw, C), lambda b, j: (b, 0, 0, 0)),
             pl.BlockSpec((C, 1152), lambda b, j: (0, j)),
-            pl.BlockSpec((3, W4, G), lambda b, j: (0, 0, 0)),
-            pl.BlockSpec((3, G, W4), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((3, W4, Gw), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((3, Gh, H4), lambda b, j: (0, 0, 0)),
             pl.BlockSpec((1, 128), lambda b, j: (0, j)),
             pl.BlockSpec((1, 128), lambda b, j: (0, j)),
             pl.BlockSpec((128, n), lambda b, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, W4, W4, n), lambda b, j: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, H4, W4, n), lambda b, j: (b, 0, 0, 0)),
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
@@ -442,18 +461,26 @@ def _head_xla(x, kc, inv, addv, kp):
 
 
 def _ok(x, kp) -> bool:
-    B, G, G2, C = x.shape
+    B, Gh, Gw, C = x.shape
     n = kp.shape[-1]
     # bf16 only: an f32 model doubles every block and blows the scoped
     # VMEM cap (observed 25.2M for the f32 training-CLI eval); f32 also
     # wants f32 reference numerics — use the XLA composition there.
     if x.dtype != jnp.bfloat16:
         return False
+    # Gh % 4: strip geometry; _gm_hc: an 8-aligned Gm chunk row count
+    # must exist. Non-square grids (NYUD 28x36) use per-axis shift stacks.
+    if Gh % 4 or Gw % 4 or Gh < 8 or Gw < 8 or _gm_hc(Gh, Gw) is None:
+        return False
     # VMEM budget: gm f32 transient + bk scratch + strip temps + out
-    vmem = (G * G * 1152 * 4 + 3 * G * 4 * G * 128 * 2
-            + (G * 4 * G * 128) * (4 + 4 + 2) // 4 + 4 * G * 4 * G * n * 4 * 2
-            + G * G * C * 2 * 2 + C * 1152 * 2 * 2)
-    return (G == G2 and n <= 128 and G % 8 == 0 and vmem <= 15 * 2 ** 20)
+    vmem = (Gh * Gw * 1152 * 4 + 3 * Gh * 4 * Gw * 128 * 2
+            + (Gh * 4 * Gw * 128) * (4 + 4 + 2) // 4
+            + 4 * Gh * 4 * Gw * n * 4 * 2
+            + Gh * Gw * C * 2 * 2 + C * 1152 * 2 * 2)
+    # gate scaled with the 28 MB scoped-VMEM cap (was 15 MB at the 23 MB
+    # cap; the estimate runs ~1.5x under the compiler's scoped report, so
+    # 18.5 MB est ~ 27.5 MB actual — NYUD semseg n=40 measured OK on HW)
+    return n <= 128 and vmem <= 18.5 * 2 ** 20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -166,8 +166,15 @@ def _tail_plan(shapes, th: int, tw: int, n_strips: int = 8):
     return fs, win2
 
 
+def _n_strips_default() -> int:
+    import os
+    return int(os.environ.get("MTT_TAIL_STRIPS", "8"))
+
+
 def _tail_pallas(xs, kc, inv, addv, th, tw, interpret=False,
-                 n_strips: int = 8):
+                 n_strips: Optional[int] = None):
+    if n_strips is None:
+        n_strips = _n_strips_default()
     x0, x1, x2 = xs
     B = x0.shape[0]
     C = x0.shape[-1]
@@ -269,7 +276,8 @@ def _ok(xs, kc, th, tw) -> bool:
     D = kc.shape[-1]
     if C != kc.shape[2] or any(x.shape[-1] != C for x in xs):
         return False
-    plan = _tail_plan([x.shape[1:3] for x in xs], th, tw)
+    plan = _tail_plan([x.shape[1:3] for x in xs], th, tw,
+                      _n_strips_default())
     if plan is None:
         return False
     fs, (starts2, slab2, sh_rows) = plan

@@ -197,4 +197,15 @@ def fused_task_decode(x, a, cw, ws, bs, wc, bc, wf, bf,
         impl = os.environ.get("MTT_DECODE_IMPL")
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # rows are independent (per-token decode, no cross-row reduction), so
+    # non-128-multiple S (e.g. every non-final NYUD stage: 252/1008/4032
+    # tokens) zero-pads to the block size and slices back; the pad/slice
+    # sit OUTSIDE the custom_vjp so autodiff handles them
+    S = x.shape[1]
+    Sp = -(-S // 128) * 128
+    if impl != "xla" and Sp != S:
+        xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+        ap = jnp.pad(a, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        return _fused_decode(xp, ap, cw, ws, bs, wc, bc, wf, bf,
+                             impl)[:, :S]
     return _fused_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl)

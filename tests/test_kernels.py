@@ -289,6 +289,17 @@ def test_fused_task_decode_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 
+    # non-128-multiple S (every non-final NYUD stage): the kernel
+    # zero-pads rows to the block size and slices back
+    Sr = 252
+    ref_r = fused_task_decode(x[:, :Sr], a[:, :, :Sr], cw, ws, bs, wc, bc,
+                              wf, bf, impl="xla")
+    out_r = fused_task_decode(x[:, :Sr], a[:, :, :Sr], cw, ws, bs, wc, bc,
+                              wf, bf, impl="interpret")
+    assert out_r.shape == (B, Sr, T * fin)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               atol=2e-4, rtol=2e-4)
+
     def loss_f(*args):
         y = fused_task_decode(*args, impl="xla")
         return (y ** 2).sum() + (y ** 3).sum()
@@ -360,14 +371,16 @@ def test_safe_softmax_env_exact_past_clamp(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("g,c,n", [(8, 350, 21), (8, 256, 1)])
-def test_fused_up4_head_matches_xla(g, c, n):
+@pytest.mark.parametrize("gh,gw,c,n", [(8, 8, 350, 21), (8, 8, 256, 1),
+                                       (8, 12, 350, 21)])
+def test_fused_up4_head_matches_xla(gh, gw, c, n):
     """Fused up4 ConvHead kernel (interpret) vs the factored XLA
     composition: Gm + both spatial mixes + folded-BN affine + exact
-    gelu + 1x1, at a reduced grid size."""
+    gelu + 1x1, at a reduced grid size. The (8, 12) case covers the
+    non-square grids of the NYUD configs (head input 28x36)."""
     from mtt_tpu.kernels.head_up4 import fused_up4_head
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(2, g, g, c)).astype(np.float32) * 0.3,
+    x = jnp.asarray(rng.normal(size=(2, gh, gw, c)).astype(np.float32) * 0.3,
                     jnp.bfloat16)
     kc = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.02)
     inv = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c,)).astype(np.float32))
@@ -375,7 +388,7 @@ def test_fused_up4_head_matches_xla(g, c, n):
     kp = jnp.asarray(rng.normal(size=(c, n)).astype(np.float32) * 0.05)
     ref = fused_up4_head(x, kc, inv, addv, kp, impl="xla")
     out = fused_up4_head(x, kc, inv, addv, kp, impl="interpret")
-    assert out.shape == (2, 4 * g, 4 * g, n)
+    assert out.shape == (2, 4 * gh, 4 * gw, n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
 

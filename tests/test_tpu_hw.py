@@ -181,6 +181,15 @@ class TestPallasKernelsOnTPU:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=5e-2, rtol=5e-2)
+        # non-128-multiple S (NYUD stage 28x36 = 1008 tokens): padded path
+        Sr = 1008
+        ref_r = fused_task_decode(x[:, :Sr], a[:, :, :Sr], cw, ws, bs, wc,
+                                  bc, wf, bf, impl="xla")
+        out_r = fused_task_decode(x[:, :Sr], a[:, :, :Sr], cw, ws, bs, wc,
+                                  bc, wf, bf, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out_r, np.float32),
+                                   np.asarray(ref_r, np.float32),
+                                   atol=5e-2, rtol=5e-2)
 
     def test_invpt_message_kernel_pallas_vs_xla(self):
         # InvPT stage-2 shape: 5 tasks x 32x32 q (stride 2 -> 1280),
@@ -304,6 +313,15 @@ class TestRound3KernelsOnTPU:
             f"{flips.sum()} argmax flips on clear-margin pixels "
             f"({flips.mean():.5f} of all) — bf16 logit accumulation is "
             f"not metric-neutral; use an f32 scratch accumulator")
+        # non-square grid (NYUD head input 28x36): per-axis shift stacks
+        xr = jnp.asarray(rng.normal(size=(1, 28, 36, 350)) * 0.3,
+                         jnp.bfloat16)
+        ref_r = np.asarray(fused_up4_head(xr, kc, inv, addv, kp,
+                                          impl="xla"))
+        got_r = np.asarray(fused_up4_head(xr, kc, inv, addv, kp,
+                                          impl="pallas"))
+        assert got_r.shape == (1, 112, 144, 21)
+        np.testing.assert_allclose(got_r, ref_r, atol=5e-2, rtol=5e-2)
 
     def test_window_attention_pallas_vs_xla(self):
         import jax.numpy as jnp
