@@ -256,6 +256,277 @@ def _tail_pallas(xs, kc, inv, addv, th, tw, interpret=False,
     return out[..., :D]
 
 
+def _stencil_f_np(g: int, f: int):
+    """Phase stencil of the f-x upsample+conv height-mix matrix
+    S = _shift_stack(g, f): output row r = f*q + p draws on low-res rows
+    q + d, d in {-1, 0, 1}, with phase coefficients c[p, k, d] that are
+    q-invariant in the interior (same derivation as head_up4's
+    _hmix_stencil_np, generalised to any integer factor f). Returns
+    (c_int (f,3,3), cb0 (f,3,3) over rows q=0, cb1 (f,3,3) over rows
+    q=g-1, ok); ok=False -> caller uses the dot-based height mix."""
+    S = _shift_stack(g, f)                       # (h', k, f*g)
+    if g < 6:
+        return None, None, None, False
+    q0 = g // 2
+    c_int = np.zeros((f, 3, 3), np.float32)
+    cb0 = np.zeros((f, 3, 3), np.float32)
+    cb1 = np.zeros((f, 3, 3), np.float32)
+    for p in range(f):
+        for k in range(3):
+            for di, d in enumerate((-1, 0, 1)):
+                c_int[p, k, di] = S[q0 + d, k, f * q0 + p]
+            cb0[p, k] = S[0:3, k, p]
+            cb1[p, k] = S[g - 3:g, k, f * (g - 1) + p]
+    R = np.zeros_like(S)
+    for p in range(f):
+        for k in range(3):
+            for q in range(1, g - 1):
+                for di, d in enumerate((-1, 0, 1)):
+                    hp = q + d
+                    if 0 <= hp < g:
+                        R[hp, k, f * q + p] += c_int[p, k, di]
+            R[0:3, k, p] = cb0[p, k]
+            R[g - 3:g, k, f * (g - 1) + p] = cb1[p, k]
+    ok = bool(np.abs(R - S).max() < 1e-6)
+    return c_int, cb0, cb1, ok
+
+
+def _tail_kernel_st(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
+                    sw2_ref, inv_ref, addv_ref, o_ref, bk0_ref, bk1_ref,
+                    *, C: int, g0, g1, g2, sh_rows: int, tw: int,
+                    fs, stencils, n_strips: int):
+    """Stencil height mix: the 9 dim0-contracting strip dots (~1.16 of
+    the 3.44 ms/task-call, tools/proto_tail_iso.py) become per-phase VPU
+    slab multiply-adds on row-shifted Bk slabs. All three scales' inputs
+    arrive zero-padded by one row top and bottom, so every interior
+    stencil tap is an in-range slice (the padded rows contribute zero
+    exactly where the interior formula is invalid — at q = 0 / g-1 —
+    and those border output rows are rebuilt exactly from cb0/cb1)."""
+    strip = pl.program_id(2)
+
+    def _gm(x2d, rows):
+        nch = max(rows // 256, 1)
+        while rows % nch:
+            nch -= 1
+        ch = rows // nch
+        outs = []
+        for i in range(nch):
+            d = jax.lax.dot_general(
+                x2d[i * ch:(i + 1) * ch], wf_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(d.astype(x2d.dtype))
+        return jnp.concatenate(outs, axis=0) if nch > 1 else outs[0]
+
+    def _wmix(gm3, sw_ref, gh, gw):
+        out = []
+        for k in range(3):
+            acc = jnp.zeros((gh, tw, 128), jnp.float32)
+            for l in range(3):
+                a_kl = gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+                swb = jnp.broadcast_to(sw_ref[l][None], (gh, tw, gw))
+                acc += jax.lax.dot_general(
+                    swb, a_kl, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            out.append(acc.astype(gm3.dtype))
+        return out
+
+    # small scales (rows padded to g+2): width-mixed once, cached
+    @pl.when(strip == 0)
+    def _():
+        gp0 = (g0[0] + 2) * g0[1]
+        gm0 = _gm(x0_ref[0].reshape(gp0, C), gp0)
+        for k, bk in enumerate(_wmix(gm0.reshape(g0[0] + 2, g0[1],
+                                                 9 * 128),
+                                     sw0_ref, g0[0] + 2, g0[1])):
+            bk0_ref[k] = bk
+        gp1 = (g1[0] + 2) * g1[1]
+        gm1 = _gm(x1_ref[0].reshape(gp1, C), gp1)
+        for k, bk in enumerate(_wmix(gm1.reshape(g1[0] + 2, g1[1],
+                                                 9 * 128),
+                                     sw1_ref, g1[0] + 2, g1[1])):
+            bk1_ref[k] = bk
+
+    # large scale: uniform padded slab [q0s, q0s + qpb2 + 2)
+    qpb2 = sh_rows // fs[2]
+    slab2 = qpb2 + 2
+    gm2 = _gm(x2s_ref[0, 0].reshape(slab2 * g2[1], C), slab2 * g2[1])
+    bk2 = _wmix(gm2.reshape(slab2, g2[1], 9 * 128), sw2_ref, slab2, g2[1])
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (sh_rows, 1, 1), 0)
+    last = n_strips - 1
+
+    def _hmix_st(get_bk, f, c_int, cb0, cb1, base, top_base, bot_base):
+        """get_bk(k, start, size) -> (size, tw, 128) f32 slab, padded-row
+        coords of the provider (global for the scratch scales, slab-local
+        for scale 2). base = provider coord of this strip's first q;
+        top_base/bot_base = provider coords of padded rows 1 and g-2
+        (both STATIC so scale 2's slab reads stay static slices).
+        Returns the strip's (sh_rows, tw, 128) f32 contribution."""
+        qpb = sh_rows // f
+        ys = []
+        for p in range(f):
+            acc = jnp.zeros((qpb, tw, 128), jnp.float32)
+            for k in range(3):
+                for di, d in enumerate((-1, 0, 1)):
+                    c = float(c_int[p, k, di])
+                    if abs(c) < 1e-12:
+                        continue
+                    acc += c * get_bk(k, base + d, qpb)
+            ys.append(acc)
+        y = jnp.stack(ys, axis=1).reshape(sh_rows, tw, 128)
+        # exact border rows (q = 0 / g-1): the interior formula there
+        # reads the zero pad rows instead of edge-replicated upsample
+        # behaviour, so both are rebuilt from the true matrix columns
+        top = []
+        bot = []
+        for p in range(f):
+            tacc = jnp.zeros((1, tw, 128), jnp.float32)
+            bacc = jnp.zeros((1, tw, 128), jnp.float32)
+            for k in range(3):
+                for h in range(3):
+                    c0 = float(cb0[p, k, h])
+                    cl = float(cb1[p, k, h])
+                    if abs(c0) > 1e-12:
+                        tacc += c0 * get_bk(k, top_base + h, 1)
+                    if abs(cl) > 1e-12:
+                        bacc += cl * get_bk(k, bot_base + h, 1)
+            top.append(tacc)
+            bot.append(bacc)
+        ztail = jnp.zeros((sh_rows - f, tw, 128), jnp.float32)
+        topf = jnp.concatenate(top + [ztail], axis=0)
+        botf = jnp.concatenate([ztail] + bot, axis=0)
+        y = jnp.where((row < f) & (strip == 0), topf, y)
+        y = jnp.where((row >= sh_rows - f) & (strip == last), botf, y)
+        return y
+
+    def _bk_ref_get(ref):
+        return lambda k, start, size: \
+            ref[k, pl.ds(start, size)].astype(jnp.float32)
+
+    def _bk2_get(k, start, size):
+        # slab-local coords; every caller passes a static start
+        return bk2[k][start:start + size].astype(jnp.float32)
+
+    qpb0 = sh_rows // fs[0]
+    qpb1 = sh_rows // fs[1]
+    c0i, c0b0, c0b1 = stencils[0]
+    c1i, c1b0, c1b1 = stencils[1]
+    c2i, c2b0, c2b1 = stencils[2]
+    y = _hmix_st(_bk_ref_get(bk0_ref), fs[0], c0i, c0b0, c0b1,
+                 strip * qpb0 + 1, 1, g0[0] - 2)
+    y += _hmix_st(_bk_ref_get(bk1_ref), fs[1], c1i, c1b0, c1b1,
+                  strip * qpb1 + 1, 1, g1[0] - 2)
+    # scale 2 slab covers padded rows [strip*qpb2, strip*qpb2+qpb2+2):
+    # the strip's first q sits at slab index 1; top border rows (padded
+    # 1..3) sit at 1..3 of strip 0's slab, bottom rows (padded g-2..g)
+    # at qpb2-2..qpb2 of the last strip's slab — all static in-slab
+    y += _hmix_st(_bk2_get, fs[2], c2i, c2b0, c2b1,
+                  1, 1, qpb2 - 2)
+    ivec = inv_ref[0]
+    avec = addv_ref[0]
+    o_ref[0, 0] = jnp.maximum(
+        y * ivec[None, None, :] + avec[None, None, :], 0.0
+    ).astype(o_ref.dtype)
+
+
+def _stencil_plan(shapes, th: int, tw: int):
+    """(n_strips, fs, stencils) for the stencil kernel or None.
+    sh_rows must be a multiple of every scale factor so strips align to
+    whole phase groups (PASCAL 128/8 -> 16; NYUD 112/7 -> 16)."""
+    fs = []
+    for (h, w) in shapes:
+        if th % h or tw % w or th // h != tw // w:
+            return None
+        fs.append(th // h)
+    fmax = max(fs)
+    n_strips = None
+    for sh in (16, fmax, 2 * fmax, 32):
+        if sh % fmax == 0 and th % sh == 0:
+            n_strips = th // sh
+            break
+    if n_strips is None or n_strips < 2:
+        return None
+    stencils = []
+    for (h, w), f in zip(shapes, fs):
+        ci, cb0, cb1, ok = _stencil_f_np(h, f)
+        if not ok:
+            return None
+        stencils.append((ci, cb0, cb1))
+    return n_strips, tuple(fs), tuple(stencils)
+
+
+def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
+    x0, x1, x2 = xs
+    B, C, dt = x0.shape[0], x0.shape[-1], x0.dtype
+    n_strips, fs, stencils = plan
+    sh_rows = th // n_strips
+    g0, g1, g2 = [x.shape[1:3] for x in xs]
+    D = kc.shape[-1]
+    nj = -(-D // 128)
+    DP = nj * 128
+
+    kpad = jnp.pad(kc.astype(dt), ((0, 0), (0, 0), (0, 0), (0, DP - D)))
+    Wf = kpad.transpose(2, 0, 1, 3).reshape(C, 3, 3, nj, 128) \
+        .transpose(0, 3, 1, 2, 4).reshape(C, nj * 1152)
+
+    sws = []
+    for (gh, gw), f in zip((g0, g1, g2), fs):
+        Sw = _shift_stack(gw, f)                  # (w, l, tw)
+        sws.append(jnp.asarray(Sw.transpose(1, 2, 0), dt))   # (l, tw, w)
+
+    # one zero row top+bottom per scale: every interior stencil tap is
+    # then an in-range slice and the uniform scale-2 slab windows need
+    # no per-strip starts
+    x0p = jnp.pad(x0, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    x1p = jnp.pad(x1, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    x2p = jnp.pad(x2, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    qpb2 = sh_rows // fs[2]
+    slab2 = qpb2 + 2
+    x2s = jnp.stack([jax.lax.slice_in_dim(x2p, s * qpb2, s * qpb2 + slab2,
+                                          axis=1)
+                     for s in range(n_strips)], axis=1)
+
+    invp = jnp.pad(inv.astype(jnp.float32), (0, DP - D)).reshape(1, DP)
+    addvp = jnp.pad(addv.astype(jnp.float32), (0, DP - D)).reshape(1, DP)
+
+    kwargs = {}
+    if not interpret and pltpu is not None:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    scratch = [pltpu.VMEM((3, g0[0] + 2, tw, 128), dt),
+               pltpu.VMEM((3, g1[0] + 2, tw, 128), dt)] \
+        if pltpu is not None else [None, None]
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel_st, C=C, g0=g0, g1=g1, g2=g2,
+                          sh_rows=sh_rows, tw=tw, fs=fs,
+                          stencils=stencils, n_strips=n_strips),
+        out_shape=jax.ShapeDtypeStruct((B, n_strips, sh_rows, tw, DP), dt),
+        grid=(B, nj, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, g0[0] + 2, g0[1], C),
+                         lambda b, j, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, g1[0] + 2, g1[1], C),
+                         lambda b, j, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, slab2, g2[1], C),
+                         lambda b, j, t: (b, t, 0, 0, 0)),
+            pl.BlockSpec((C, 1152), lambda b, j, t: (0, j)),
+            pl.BlockSpec((3, tw, g0[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, tw, g1[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((3, tw, g2[1]), lambda b, j, t: (0, 0, 0)),
+            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, sh_rows, tw, 128),
+                               lambda b, j, t: (b, t, 0, 0, j)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(x0p, x1p, x2s, Wf, sws[0], sws[1], sws[2], invp, addvp)
+    out = out.reshape(B, th, tw, DP)
+    return out[..., :D]
+
+
 def _tail_xla(xs, kc, inv, addv, th, tw):
     """Dense reference composition (the model's eval-mode tail math)."""
     from mtt_tpu.models.layers import interpolate
@@ -293,15 +564,26 @@ def _ok(xs, kc, th, tw) -> bool:
     return vmem <= 21 * 2 ** 20
 
 
+def _hmix_mode() -> str:
+    import os
+    return os.environ.get("MTT_TAIL_HMIX", "stencil")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _fused_tail(xs, kc, inv, addv, th: int, tw: int, impl: str):
     # bf16-only on hardware: an f32 model doubles every block past the
     # scoped-VMEM budget (interpret mode on CPU tests takes any dtype)
-    if impl == "pallas" and pltpu is not None \
-            and xs[0].dtype == jnp.bfloat16 and _ok(xs, kc, th, tw):
-        return _tail_pallas(xs, kc, inv, addv, th, tw)
-    if impl == "interpret" and _ok(xs, kc, th, tw):
-        return _tail_pallas(xs, kc, inv, addv, th, tw, interpret=True)
+    interp = impl == "interpret"
+    if (impl == "pallas" or interp) \
+            and (interp or (pltpu is not None
+                            and xs[0].dtype == jnp.bfloat16)) \
+            and _ok(xs, kc, th, tw):
+        if _hmix_mode() == "stencil":
+            plan = _stencil_plan([x.shape[1:3] for x in xs], th, tw)
+            if plan is not None:
+                return _tail_pallas_st(xs, kc, inv, addv, th, tw, plan,
+                                       interpret=interp)
+        return _tail_pallas(xs, kc, inv, addv, th, tw, interpret=interp)
     return _tail_xla(xs, kc, inv, addv, th, tw)
 
 
