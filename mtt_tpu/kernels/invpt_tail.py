@@ -501,7 +501,10 @@ def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
         functools.partial(_tail_kernel_st, C=C, g0=g0, g1=g1, g2=g2,
                           sh_rows=sh_rows, tw=tw, fs=fs,
                           stencils=stencils, n_strips=n_strips),
-        out_shape=jax.ShapeDtypeStruct((B, n_strips, sh_rows, tw, DP), dt),
+        # ragged last dim: blocks stay 128 lanes but the array is D wide
+        # (Pallas masks the edge store) - a DP-wide array would need a
+        # [..., :D] lane slice afterwards, a full relayout copy per task
+        out_shape=jax.ShapeDtypeStruct((B, n_strips, sh_rows, tw, D), dt),
         grid=(B, nj, n_strips),
         in_specs=[
             pl.BlockSpec((1, g0[0] + 2, g0[1], C),
@@ -523,8 +526,7 @@ def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
         interpret=interpret,
         **kwargs,
     )(x0p, x1p, x2s, Wf, sws[0], sws[1], sws[2], invp, addvp)
-    out = out.reshape(B, th, tw, DP)
-    return out[..., :D]
+    return out.reshape(B, th, tw, D)
 
 
 def _tail_xla(xs, kc, inv, addv, th, tw):
