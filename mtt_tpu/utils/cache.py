@@ -31,6 +31,30 @@ def _ensure_scoped_vmem_limit():
         os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + flag).strip()
 
 
+def _cpu_cache_fingerprint() -> str:
+    """Host-CPU fingerprint for segregating XLA:CPU cache entries.
+
+    XLA:CPU persistent-cache entries are AOT-compiled against the exact
+    machine features of the compiling host; loading one on a different
+    CPU fails at best with feature-mismatch errors and at worst inside
+    execution (observed: a 2-process gloo collective timing out on a
+    buffer-definition event after the repo cache crossed hosts between
+    build rounds). TPU entries target the chip, not the host, and stay
+    shared."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(
+        (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None):
     _ensure_scoped_vmem_limit()
     import jax
@@ -39,6 +63,8 @@ def enable_compilation_cache(path: str | None = None):
         "MTT_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        path = os.path.join(path, "cpu-" + _cpu_cache_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
