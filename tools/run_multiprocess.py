@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import subprocess
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -211,14 +212,37 @@ def main():
               ref_run=args.ref_run)
         return
 
+    # GLOO_SOCKET_IFNAME=lo: both ranks live on this host, and letting
+    # gloo advertise the external interface is flaky under the gVisor
+    # sandbox (intermittent "Gloo context initialization failed: Connect
+    # timeout" / GetKeyValue timeouts in the first cross-process
+    # collective); loopback is deterministic
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               GLOO_SOCKET_IFNAME="lo")
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--nproc",
          str(args.nproc), "--child-rank", str(r), "--port", str(args.port),
          "--out-dir", args.out_dir], env=env)
         for r in range(args.nproc)]
-    rcs = [pr.wait() for pr in procs]
+    # bounded wait + explicit kill: a wedged child must never outlive the
+    # parent — an orphan keeps the coordination-service port and its gloo
+    # listeners open, and every later default-port run then joins the
+    # zombie service and times out in the first cross-process collective
+    # (observed as a cascade of 'Gloo context initialization failed'
+    # failures until the stale pair was killed by pid)
+    rcs = []
+    deadline = time.time() + 1500
+    try:
+        for pr in procs:
+            rcs.append(pr.wait(timeout=max(1.0, deadline - time.time())))
+    except subprocess.TimeoutExpired:
+        rcs.append("timeout")
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+                pr.wait()
     assert all(rc == 0 for rc in rcs), rcs
 
     # 1-process reference on the same synthetic data + deterministic init
