@@ -92,8 +92,16 @@ def derive(imgs_per_sec: float, tflop_per_img: float) -> dict:
         return {"vs_baseline": None}
     a100 = A100_EAGER_TFLOPS / tflop_per_img
     achieved = imgs_per_sec * tflop_per_img
+    vs = imgs_per_sec / (TARGET_MULTIPLIER * a100)
+    # Sensitivity of the one unmeasured constant (the 0.30 eager factor):
+    # vs_baseline scales as 0.30/f. Literature anchor: timm's published
+    # A100 inference tables put vit_large_patch16_384 fp32 eager at
+    # ~100-130 imgs/s (~19-25 TF/s achieved = factor 0.12-0.16 of the
+    # TF32 peak), so 0.30 is ~2x GENEROUS to the reference; the faithful
+    # reading of the published recipe (fp32, TF32 off, 19.5 TF/s x 0.6
+    # eager = 11.7 TF/s) is ~4x easier than the committed target.
     return {
-        "vs_baseline": round(imgs_per_sec / (TARGET_MULTIPLIER * a100), 4),
+        "vs_baseline": round(vs, 4),
         "tflop_per_img": round(tflop_per_img, 4),
         "achieved_tflops": round(achieved, 1),
         "roofline_fraction": round(achieved / V5E_BF16_PEAK_TFLOPS, 4),
@@ -101,6 +109,12 @@ def derive(imgs_per_sec: float, tflop_per_img: float) -> dict:
             f"{tflop_per_img:.4g} TFLOP/img / (156 TF/s TF32 * 0.30 eager"
             f" = 46.8 TF/s) = {a100:.1f} imgs/s; x3 target = "
             f"{TARGET_MULTIPLIER * a100:.1f}"),
+        "vs_baseline_sensitivity": {
+            "eager_0.20": round(vs * 0.30 / 0.20, 4),
+            "eager_0.30": round(vs, 4),
+            "eager_0.40": round(vs * 0.30 / 0.40, 4),
+            "fp32_faithful_11.7TFs": round(vs * A100_EAGER_TFLOPS / 11.7, 4),
+        },
     }
 
 
@@ -170,6 +184,16 @@ def main():
         pass
 
     chk = float(jax.device_get(fwd(variables, x)))  # compile + warm-up
+    # the warm-up traced the real (Pallas-default) path: if any fused
+    # kernel gate silently rejected a flagship shape, the bench must say
+    # so instead of publishing a number that quietly lost the kernel
+    from mtt_tpu.kernels.fallback_log import fallbacks_seen
+    fb = fallbacks_seen()
+    if fb and jax.default_backend() == "tpu" \
+            and os.environ.get("MTT_ALLOW_FALLBACK") != "1":
+        raise SystemExit(
+            f"[bench] fused-kernel fallback on benched shapes: {fb} "
+            f"(set MTT_ALLOW_FALLBACK=1 to bench anyway)")
     # best of 3 timing windows: single-window numbers drift ~1% with
     # chip/tunnel contention and the round record is one bench run
     best_dt = None

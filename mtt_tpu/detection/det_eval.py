@@ -79,13 +79,20 @@ class DetRecordAccumulator:
         self.save_dir = save_dir
         self.records = []
 
-    def add_batch(self, head_out, batch):
+    def decode_batch(self, head_out, batch):
+        """Decode per-image detections from the shared-forward head
+        outputs. Yields (local_index, meta, dec, objs) for every
+        non-padding local sample; dec is the decoded array dict
+        (boxes3d/bboxes2d/scores/labels/valid), objs the official-format
+        JSON objects."""
         # pull the PROCESS-LOCAL rows to host first: head_out may be
         # global arrays under multi-process eval, and row i of the local
         # host batch pairs with local (not global) row i
         cls, bbox, dirp, ctr = [[_local_rows(a) for a in group]
                                 for group in head_out]
-        B = batch["image"].shape[0]
+        # meta carries the true local sample count; the device batch may
+        # hold extra mesh-padding rows beyond it (pad_batch_to_multiple)
+        B = min(len(batch["meta"]), cls[0].shape[0])
         for i in range(B):
             meta = batch["meta"][i]
             if meta.get("pad"):       # loader batch-padding sample
@@ -97,6 +104,10 @@ class DetRecordAccumulator:
             objs = bbox_to_json_objects(dec["boxes3d"], dec["bboxes2d"],
                                         dec["scores"], dec["labels"],
                                         dec["valid"], meta["camera"])
+            yield i, meta, dec, objs
+
+    def add_batch(self, head_out, batch):
+        for i, meta, dec, objs in self.decode_batch(head_out, batch):
             if self.save_dir is not None:
                 save_image_predictions(os.path.join(self.save_dir, "3ddet"),
                                        meta["img_name"], objs)

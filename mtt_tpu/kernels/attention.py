@@ -288,8 +288,12 @@ def _qkv_pallas_ok(qkv, heads: int, hpb: int = 2) -> bool:
 def _fused_attention_qkv(qkv, heads: int, scale: float, impl: str,
                          safe: bool = False):
     hpb = _hpb_default()
-    if impl == "pallas" and _qkv_pallas_ok(qkv, heads, hpb):
-        return _attn_qkv_pallas(qkv, heads, scale, hpb=hpb, safe=safe)
+    if impl == "pallas":
+        if _qkv_pallas_ok(qkv, heads, hpb):
+            return _attn_qkv_pallas(qkv, heads, scale, hpb=hpb, safe=safe)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("attention_qkv",
+                      f"qkv={tuple(qkv.shape)} heads={heads}")
     if impl == "interpret" and _qkv_pallas_ok(qkv, heads, hpb):
         return _attn_qkv_pallas(qkv, heads, scale, hpb=hpb, interpret=True,
                                 safe=safe)
@@ -556,12 +560,16 @@ def _fused_attn_ln_qkv(x, gamma, beta, w, b, heads: int, scale: float,
                        eps: float, emit: bool, impl: str,
                        safe: bool = False):
     hpb = _hpb_default()
-    if impl == "pallas" and _attn_ln_ok(x, w, heads, hpb, emit=emit):
-        if not emit:
-            return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
-                                       eps, hpb=hpb, safe=safe)
-        return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads, scale,
-                                        eps, hpb=hpb, safe=safe)
+    if impl == "pallas":
+        if _attn_ln_ok(x, w, heads, hpb, emit=emit):
+            if not emit:
+                return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads,
+                                           scale, eps, hpb=hpb, safe=safe)
+            return _attn_ln_qkv_emit_pallas(x, gamma, beta, w, b, heads,
+                                            scale, eps, hpb=hpb, safe=safe)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("attn_ln_qkv",
+                      f"x={tuple(x.shape)} heads={heads} emit={emit}")
     if impl == "interpret" and _attn_ln_ok(x, w, heads, hpb, emit=emit):
         if not emit:
             return _attn_ln_qkv_pallas(x, gamma, beta, w, b, heads, scale,
@@ -688,6 +696,10 @@ def _bwd_pallas_ok(x, w, heads: int, hpb: int = 2) -> bool:
 
 def _attn_ln_bwd(heads, scale, eps, emit, impl, safe, res, g):
     x, gamma, beta, w, b = res
+    if impl == "pallas" and not _bwd_pallas_ok(x, w, heads, _hpb_default()):
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("attn_ln_bwd",
+                      f"x={tuple(x.shape)} heads={heads}")
     if impl in ("pallas", "interpret") and _bwd_pallas_ok(
             x, w, heads, _hpb_default()):
         # recompute LN and qkv (MXU-fast XLA), run the attention-core

@@ -242,14 +242,16 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
 
 def _head_kernel_stencil2(x_ref, wf_ref, inv_ref, addv_ref, kp_ref, o_ref,
                           gm_ref, bk_ref, *, n: int, C: int, G: int,
-                          c_int, cb0, cb1):
+                          hc: int, c_int, cb0, cb1):
     """Both spatial mixes as phase-major stencils: the width mix becomes
     ~30 sublane-rolled slab multiply-adds per channel chunk (instead of 9
     h'-batched Mosaic dots at 25% MXU) and the height mix the outer-dim
     stencil of _head_kernel_stencil; everything stays phase-major
     (ph, px, qh, qw) so only a small logits transpose runs in XLA."""
     j = pl.program_id(1)
-    hc = max(G // 4, 1)
+    # hc comes from _gm_hc (caller): (hc * G) % 8 == 0 guaranteed — an
+    # internally derived G//4 can produce a non-8-aligned dynamic
+    # sublane store offset that Mosaic rejects (e.g. G=12 -> rc=36)
     rc = hc * G
 
     def _gm_chunk(i, carry):
@@ -380,7 +382,7 @@ def _head_pallas(x, kc, inv, addv, kp, interpret=False):
         G = Gh                                 # square-only variant
         out = pl.pallas_call(
             functools.partial(_head_kernel_stencil2, n=n, C=C, G=G,
-                              c_int=c_int, cb0=cb0, cb1=cb1),
+                              hc=hc, c_int=c_int, cb0=cb0, cb1=cb1),
             out_shape=jax.ShapeDtypeStruct((B, 4, 4, G, G, n),
                                            jnp.bfloat16),
             grid=(B, nj),
@@ -485,8 +487,12 @@ def _ok(x, kp) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _fused_head(x, kc, inv, addv, kp, impl: str):
-    if impl == "pallas" and _ok(x, kp):
-        return _head_pallas(x, kc, inv, addv, kp)
+    if impl == "pallas":
+        if _ok(x, kp):
+            return _head_pallas(x, kc, inv, addv, kp)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("head_up4",
+                      f"x={tuple(x.shape)} {x.dtype} n={kp.shape[-1]}")
     if impl == "interpret" and _ok(x, kp):
         return _head_pallas(x, kc, inv, addv, kp, interpret=True)
     return _head_xla(x, kc, inv, addv, kp)

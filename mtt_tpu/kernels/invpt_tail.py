@@ -292,16 +292,29 @@ def _stencil_f_np(g: int, f: int):
 
 
 def _tail_kernel_st(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
-                    sw2_ref, inv_ref, addv_ref, o_ref, bk0_ref, bk1_ref,
-                    *, C: int, g0, g1, g2, sh_rows: int, tw: int,
-                    fs, stencils, n_strips: int):
+                    sw2_ref, inv_ref, addv_ref, *refs,
+                    C: int, g0, g1, g2, sh_rows: int, tw: int,
+                    fs, stencils, n_strips: int, head: bool = False):
     """Stencil height mix: the 9 dim0-contracting strip dots (~1.16 of
     the 3.44 ms/task-call, tools/proto_tail_iso.py) become per-phase VPU
     slab multiply-adds on row-shifted Bk slabs. All three scales' inputs
     arrive zero-padded by one row top and bottom, so every interior
     stencil tap is an in-range slice (the padded rows contribute zero
     exactly where the interior formula is invalid — at q = 0 / g-1 —
-    and those border output rows are rebuilt exactly from cb0/cb1)."""
+    and those border output rows are rebuilt exactly from cb0/cb1).
+
+    With ``head`` the per-task 1x1 head conv is fused into the epilogue:
+    each (b, j, t) cell emits its channel chunk's PARTIAL logits
+    act_j @ Wh_j (f32, (sh, tw, n)) instead of the (sh, tw, 128) feature
+    strip; the caller sums the nj partials in XLA. The five 150 MB
+    per-task feature tensors (written by this kernel, re-read by the
+    five head convs — ~1.5 GB of HBM round-trips per InvPT bench step)
+    never materialise. Reference math: decoder tail invpt.py:541-543
+    followed by the 1x1 MLPHead (transformer_decoder.py:124-131)."""
+    if head:
+        wh_ref, bh_ref, o_ref, bk0_ref, bk1_ref, acc_ref = refs
+    else:
+        o_ref, bk0_ref, bk1_ref = refs
     strip = pl.program_id(2)
 
     def _gm(x2d, rows):
@@ -425,9 +438,44 @@ def _tail_kernel_st(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
                   1, 1, qpb2 - 2)
     ivec = inv_ref[0]
     avec = addv_ref[0]
-    o_ref[0, 0] = jnp.maximum(
-        y * ivec[None, None, :] + avec[None, None, :], 0.0
-    ).astype(o_ref.dtype)
+    act = jnp.maximum(y * ivec[None, None, :] + avec[None, None, :], 0.0)
+    if head:
+        # this channel chunk's partial logits; padded-D lanes carry
+        # act == 0 (Wf/inv/addv zero-padded) so Wh's padded rows are
+        # inert. Accumulated across the nj chunk (j) grid steps in a
+        # persistent f32 VMEM scratch — an XLA-side partial-sum was
+        # latency-bound on the n-minor layout (flat 0.445 ms per task
+        # regardless of size). The output block is written every cell;
+        # the last j's (bias-added, complete) write wins.
+        dt = x0_ref.dtype
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        part = jax.lax.dot_general(
+            act.astype(dt).reshape(sh_rows * tw, 128), wh_ref[0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        part = part.reshape(sh_rows, tw, -1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[strip] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc_ref[strip] = acc_ref[strip] + part
+
+        # the out block spans the WHOLE (th, tw, n) image and its index
+        # ignores (j, t): it stays VMEM-resident across the full (j, t)
+        # sweep and is flushed ONCE per b — per-cell flushes of n-minor
+        # (lane-padded) blocks cost 5x the logical bytes
+        n = o_ref.shape[-1]
+
+        @pl.when(j == nj - 1)
+        def _():
+            o_ref[0, pl.ds(strip * sh_rows, sh_rows)] = \
+                (acc_ref[strip]
+                 + bh_ref[0][None, None, :])[..., :n].astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = act.astype(o_ref.dtype)
 
 
 def _stencil_plan(shapes, th: int, tw: int):
@@ -442,7 +490,11 @@ def _stencil_plan(shapes, th: int, tw: int):
     fmax = max(fs)
     n_strips = None
     for sh in (16, fmax, 2 * fmax, 32):
-        if sh % fmax == 0 and th % sh == 0:
+        # sh must be a whole number of phase groups for EVERY scale
+        # factor (the kernel computes qpb = sh // f per scale), not just
+        # the largest — e.g. fs=(6, 8) -> sh=16 divides 8 but not 6 and
+        # would fail at trace time instead of falling back
+        if all(sh % f == 0 for f in fs) and th % sh == 0:
             n_strips = th // sh
             break
     if n_strips is None or n_strips < 2:
@@ -456,7 +508,8 @@ def _stencil_plan(shapes, th: int, tw: int):
     return n_strips, tuple(fs), tuple(stencils)
 
 
-def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
+def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False,
+                    head=None):
     x0, x1, x2 = xs
     B, C, dt = x0.shape[0], x0.shape[-1], x0.dtype
     n_strips, fs, stencils = plan
@@ -497,6 +550,56 @@ def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
     scratch = [pltpu.VMEM((3, g0[0] + 2, tw, 128), dt),
                pltpu.VMEM((3, g1[0] + 2, tw, 128), dt)] \
         if pltpu is not None else [None, None]
+    in_specs = [
+        pl.BlockSpec((1, g0[0] + 2, g0[1], C),
+                     lambda b, j, t: (b, 0, 0, 0)),
+        pl.BlockSpec((1, g1[0] + 2, g1[1], C),
+                     lambda b, j, t: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 1, slab2, g2[1], C),
+                     lambda b, j, t: (b, t, 0, 0, 0)),
+        pl.BlockSpec((C, 1152), lambda b, j, t: (0, j)),
+        pl.BlockSpec((3, tw, g0[1]), lambda b, j, t: (0, 0, 0)),
+        pl.BlockSpec((3, tw, g1[1]), lambda b, j, t: (0, 0, 0)),
+        pl.BlockSpec((3, tw, g2[1]), lambda b, j, t: (0, 0, 0)),
+        pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+        pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
+    ]
+    operands = [x0p, x1p, x2s, Wf, sws[0], sws[1], sws[2], invp, addvp]
+    if head is not None:
+        wh, bh = head
+        n = wh.shape[-1]
+        # n (<=128) padded to a full 128-lane tile so the epilogue dot is
+        # MXU-native; only the final o_ref store masks back to n lanes
+        whp = jnp.pad(wh.astype(dt), ((0, DP - D), (0, 128 - n))) \
+            .reshape(nj, 128, 128)
+        bhp = jnp.pad(bh.astype(jnp.float32), (0, 128 - n)).reshape(1, 128)
+        in_specs += [pl.BlockSpec((1, 128, 128),
+                                  lambda b, j, t: (j, 0, 0)),
+                     pl.BlockSpec((1, 128), lambda b, j, t: (0, 0))]
+        operands += [whp, bhp]
+        # logits accumulate in a persistent f32 VMEM scratch across the
+        # nj chunk steps (grid dim j); the output block — whose index
+        # ignores j — is rewritten each step and the last (complete)
+        # write wins. The f32 accumulation matches the dense head's
+        # single f32 dot up to chunk-boundary rounding of act.
+        scratch_h = scratch + ([pltpu.VMEM(
+            (n_strips, sh_rows, tw, 128), jnp.float32)]
+            if pltpu is not None else [None])
+        out = pl.pallas_call(
+            functools.partial(_tail_kernel_st, C=C, g0=g0, g1=g1, g2=g2,
+                              sh_rows=sh_rows, tw=tw, fs=fs,
+                              stencils=stencils, n_strips=n_strips,
+                              head=True),
+            out_shape=jax.ShapeDtypeStruct((B, th, tw, n), dt),
+            grid=(B, nj, n_strips),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, th, tw, n),
+                                   lambda b, j, t: (b, 0, 0, 0)),
+            scratch_shapes=scratch_h,
+            interpret=interpret,
+            **kwargs,
+        )(*operands)
+        return out
     out = pl.pallas_call(
         functools.partial(_tail_kernel_st, C=C, g0=g0, g1=g1, g2=g2,
                           sh_rows=sh_rows, tw=tw, fs=fs,
@@ -506,26 +609,13 @@ def _tail_pallas_st(xs, kc, inv, addv, th, tw, plan, interpret=False):
         # [..., :D] lane slice afterwards, a full relayout copy per task
         out_shape=jax.ShapeDtypeStruct((B, n_strips, sh_rows, tw, D), dt),
         grid=(B, nj, n_strips),
-        in_specs=[
-            pl.BlockSpec((1, g0[0] + 2, g0[1], C),
-                         lambda b, j, t: (b, 0, 0, 0)),
-            pl.BlockSpec((1, g1[0] + 2, g1[1], C),
-                         lambda b, j, t: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, slab2, g2[1], C),
-                         lambda b, j, t: (b, t, 0, 0, 0)),
-            pl.BlockSpec((C, 1152), lambda b, j, t: (0, j)),
-            pl.BlockSpec((3, tw, g0[1]), lambda b, j, t: (0, 0, 0)),
-            pl.BlockSpec((3, tw, g1[1]), lambda b, j, t: (0, 0, 0)),
-            pl.BlockSpec((3, tw, g2[1]), lambda b, j, t: (0, 0, 0)),
-            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
-            pl.BlockSpec((1, 128), lambda b, j, t: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, sh_rows, tw, 128),
                                lambda b, j, t: (b, t, 0, 0, j)),
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(x0p, x1p, x2s, Wf, sws[0], sws[1], sws[2], invp, addvp)
+    )(*operands)
     return out.reshape(B, th, tw, D)
 
 
@@ -544,11 +634,16 @@ def _tail_xla(xs, kc, inv, addv, th, tw):
     return jnp.maximum(y, 0.0).astype(dt)
 
 
-def _ok(xs, kc, th, tw) -> bool:
+def _compat(xs, kc) -> bool:
     C = xs[0].shape[-1]
-    D = kc.shape[-1]
-    if C != kc.shape[2] or any(x.shape[-1] != C for x in xs):
+    return C == kc.shape[2] and all(x.shape[-1] == C for x in xs)
+
+
+def _ok(xs, kc, th, tw) -> bool:
+    """Dot-kernel viability: plan exists AND its VMEM footprint fits."""
+    if not _compat(xs, kc):
         return False
+    C = xs[0].shape[-1]
     plan = _tail_plan([x.shape[1:3] for x in xs], th, tw,
                       _n_strips_default())
     if plan is None:
@@ -566,6 +661,32 @@ def _ok(xs, kc, th, tw) -> bool:
     return vmem <= 21 * 2 ** 20
 
 
+def _ok_st(xs, kc, th, tw, plan, head: bool = False) -> bool:
+    """Stencil-kernel viability: sized on ITS actual shapes (height-
+    padded x0/x1, +2-row scale-2 slabs, its own bk scratches) — the
+    stencil plan chooses n_strips independently of MTT_TAIL_STRIPS, so
+    the dot-kernel _ok() estimate neither covers nor gates it."""
+    if not _compat(xs, kc):
+        return False
+    C = xs[0].shape[-1]
+    n_strips, fs, _ = plan
+    sh_rows = th // n_strips
+    g0, g1, g2 = [x.shape[1:3] for x in xs]
+    slab2 = sh_rows // fs[2] + 2
+    it = 2
+    vmem = ((g0[0] + 2) * g0[1] * C * it + (g1[0] + 2) * g1[1] * C * it
+            + 2 * slab2 * g2[1] * C * it + 2 * C * 1152 * it
+            + 3 * (g0[0] + 2 + g1[0] + 2 + slab2) * tw * 128 * it
+            + slab2 * g2[1] * 1152 * it + 256 * 1152 * 4
+            # y f32 + per-phase stencil accs + topf/botf concats
+            + 3 * sh_rows * tw * 128 * 4 + 2 * sh_rows * tw * 128 * it)
+    if head:
+        # lane-padded f32 logits accumulator (n_strips, sh, tw, <=128)
+        vmem += n_strips * sh_rows * tw * 128 * 4
+        return vmem <= 30 * 2 ** 20
+    return vmem <= 21 * 2 ** 20
+
+
 def _hmix_mode() -> str:
     import os
     return os.environ.get("MTT_TAIL_HMIX", "stencil")
@@ -578,14 +699,26 @@ def _fused_tail(xs, kc, inv, addv, th: int, tw: int, impl: str):
     interp = impl == "interpret"
     if (impl == "pallas" or interp) \
             and (interp or (pltpu is not None
-                            and xs[0].dtype == jnp.bfloat16)) \
-            and _ok(xs, kc, th, tw):
+                            and xs[0].dtype == jnp.bfloat16)):
+        # each Pallas variant is gated on ITS OWN plan + VMEM estimate:
+        # a custom MTT_TAIL_STRIPS that invalidates the dot plan must
+        # not also disable the otherwise-viable stencil path
         if _hmix_mode() == "stencil":
             plan = _stencil_plan([x.shape[1:3] for x in xs], th, tw)
-            if plan is not None:
+            if plan is not None and _ok_st(xs, kc, th, tw, plan):
                 return _tail_pallas_st(xs, kc, inv, addv, th, tw, plan,
                                        interpret=interp)
-        return _tail_pallas(xs, kc, inv, addv, th, tw, interpret=interp)
+        if _ok(xs, kc, th, tw):
+            return _tail_pallas(xs, kc, inv, addv, th, tw,
+                                interpret=interp)
+        if impl == "pallas":
+            from mtt_tpu.kernels.fallback_log import note_fallback
+            note_fallback(
+                "invpt_tail",
+                f"xs={[tuple(x.shape) for x in xs]} th={th} tw={tw}")
+    elif impl == "pallas":
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("invpt_tail", f"dtype={xs[0].dtype} (bf16-only)")
     return _tail_xla(xs, kc, inv, addv, th, tw)
 
 
@@ -620,3 +753,44 @@ def fused_ms_tail(xs: Sequence[jax.Array], kc, inv, addv, th: int, tw: int,
         if impl is None:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return _fused_tail(tuple(xs), kc, inv, addv, th, tw, impl)
+
+
+def fused_ms_tail_head(xs: Sequence[jax.Array], kc, inv, addv, wh, bh,
+                       th: int, tw: int, impl: Optional[str] = None):
+    """Fused tail + per-task 1x1 head: logits(B, th, tw, n) =
+    relu(affine(conv3x3(sum_s upsample(xs[s])))) @ wh + bh.
+
+    Eval-only (no VJP; training uses the dense tail + head module).
+    wh: (D, n) with n <= 128, bh: (n,). The per-task 576-channel feature
+    map never reaches HBM — the kernel emits nj partial-logit chunks
+    (~10x less traffic) that are summed here. Falls back to the dense
+    composition + XLA matmul (identical math). Reference:
+    invpt.py:541-543 + transformer_decoder.py:124-131.
+    """
+    if impl is None:
+        import os
+        impl = os.environ.get("MTT_TAIL_IMPL")
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interp = impl == "interpret"
+    n = wh.shape[-1]
+    if (impl == "pallas" or interp) and n <= 128 \
+            and (interp or (pltpu is not None
+                            and xs[0].dtype == jnp.bfloat16)) \
+            and _hmix_mode() == "stencil":
+        plan = _stencil_plan([x.shape[1:3] for x in xs], th, tw)
+        if plan is not None and _ok_st(xs, kc, th, tw, plan, head=True):
+            return _tail_pallas_st(xs, kc, inv, addv, th, tw, plan,
+                                   interpret=interp, head=(wh, bh))
+        if impl == "pallas":
+            from mtt_tpu.kernels.fallback_log import note_fallback
+            note_fallback(
+                "invpt_tail_head",
+                f"xs={[tuple(x.shape) for x in xs]} th={th} tw={tw} n={n}")
+    feats = _tail_xla(xs, kc, inv, addv, th, tw)
+    dt = feats.dtype
+    logits = jax.lax.dot_general(
+        feats.reshape(-1, feats.shape[-1]), wh.astype(dt),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    logits = logits + bh.astype(jnp.float32)
+    return logits.reshape(feats.shape[:3] + (n,)).astype(dt)

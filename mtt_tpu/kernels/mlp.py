@@ -152,8 +152,11 @@ def _pallas_ok(x3, w1) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _fused_mlp(x3, w1, b1, w2, b2, impl: str):
-    if impl == "pallas" and pltpu is not None and _pallas_ok(x3, w1):
-        return _mlp_pallas(x3, w1, b1, w2, b2)
+    if impl == "pallas" and pltpu is not None:
+        if _pallas_ok(x3, w1):
+            return _mlp_pallas(x3, w1, b1, w2, b2)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("mlp", f"x={tuple(x3.shape)} w1={tuple(w1.shape)}")
     if impl == "interpret" and pltpu is not None and _pallas_ok(x3, w1):
         return _mlp_pallas(x3, w1, b1, w2, b2, interpret=True)
     return _mlp_xla(x3, w1, b1, w2, b2)
@@ -440,12 +443,16 @@ def _bb_for(x3, w1, block_h: int = 512) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp_ln_res(x2, gamma, beta, w1, b1, w2, b2, eps: float, impl: str):
-    if impl == "pallas" and pltpu is not None and _pallas_ok(x2, w1):
-        bb = _bb_for(x2, w1)
-        if bb > 1:
-            return _mlp_ln_res_pallas_bb(x2, gamma, beta, w1, b1, w2, b2,
-                                         eps, bb=bb)
-        return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps)
+    if impl == "pallas" and pltpu is not None:
+        if _pallas_ok(x2, w1):
+            bb = _bb_for(x2, w1)
+            if bb > 1:
+                return _mlp_ln_res_pallas_bb(x2, gamma, beta, w1, b1, w2,
+                                             b2, eps, bb=bb)
+            return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("mlp_ln_res",
+                      f"x={tuple(x2.shape)} w1={tuple(w1.shape)}")
     if impl == "interpret" and pltpu is not None and _pallas_ok(x2, w1):
         return _mlp_ln_res_pallas(x2, gamma, beta, w1, b1, w2, b2, eps,
                                   interpret=True)

@@ -156,8 +156,12 @@ def _decode_ok(x, a, ws, wf) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def _fused_decode(x, a, cw, ws, bs, wc, bc, wf, bf, impl: str):
-    if impl == "pallas" and _decode_ok(x, a, ws, wf):
-        return _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf)
+    if impl == "pallas":
+        if _decode_ok(x, a, ws, wf):
+            return _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf)
+        from mtt_tpu.kernels.fallback_log import note_fallback
+        note_fallback("task_decode",
+                      f"x={tuple(x.shape)} ws={tuple(ws.shape)}")
     if impl == "interpret" and _decode_ok(x, a, ws, wf):
         return _decode_pallas(x, a, cw, ws, bs, wc, bc, wf, bf,
                               interpret=True)

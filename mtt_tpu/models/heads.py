@@ -25,6 +25,22 @@ class MLPHead(nn.Module):
                        name="linear_pred")(x)
 
 
+class MLPHeadParams(nn.Module):
+    """Same param tree as MLPHead (a 1x1 'linear_pred' conv) but params
+    only — used when the head matmul is fused into the InvPT tail kernel
+    (kernels/invpt_tail.py:fused_ms_tail_head) so the conv never runs as
+    a module. Checkpoints are interchangeable with MLPHead."""
+    num_classes: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from mtt_tpu.models.layers import _Conv1x1Params
+        k, b = _Conv1x1Params(self.num_classes, self.in_features,
+                              name="linear_pred")()
+        return k.reshape(self.in_features, self.num_classes), b
+
+
 class ConvHead(nn.Module):
     """3x3 conv + BN + GELU -> 1x1 logits.
 

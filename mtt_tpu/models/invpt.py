@@ -262,7 +262,7 @@ class InvPTDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, taps: List[jax.Array], grid: Tuple[int, int], *,
-                 train: bool = False):
+                 train: bool = False, head_params=None):
         T = len(self.tasks)
         gh, gw = grid
         B = taps[0].shape[0]
@@ -351,6 +351,19 @@ class InvPTDecoder(nn.Module):
         for t in self.tasks:
             kc, gamma, beta, ra_mean, ra_var = _MtProjParams(
                 D, D, name=f"mt_proj_{t}")()
+            if head_params is not None and not train \
+                    and len(stage_tx[t]) == 3:
+                # head-fused tail (eval): emits this task's LOGITS; the
+                # (B, th, tw, D) feature map never reaches HBM
+                from mtt_tpu.kernels.invpt_tail import fused_ms_tail_head
+                m, v = (ra_mean.value.astype(jnp.float32),
+                        ra_var.value.astype(jnp.float32))
+                inv = jax.lax.rsqrt(v + 1e-5) * gamma.astype(jnp.float32)
+                addv = beta.astype(jnp.float32) - m * inv
+                wh, bh = head_params[t]
+                out[t] = fused_ms_tail_head(tuple(stage_tx[t]), kc, inv,
+                                            addv, wh, bh, th, tw)
+                continue
             if not train and not factored and len(stage_tx[t]) == 3:
                 # in-VMEM fused tail (kernels/invpt_tail.py): channel
                 # contraction at each stage's own resolution, upsample

@@ -48,13 +48,33 @@ class TransformerNet(nn.Module):
             embed_dim=self.embed_dim, pred_out=self.pred_out,
             backbone_dim=spec["embed_dim"], mtt_downsample=self.mtt_downsample,
             dtype=self.dtype, name="decoder")
-        task_features, inter_preds = decoder(taps, grid, train=train)
+
+        # eval + mlp heads: fuse each task's 1x1 head into the decoder's
+        # tail kernel (the five (B, th, tw, 576) feature maps and their
+        # head re-reads — ~1.5 GB HBM/step at bench shapes — vanish).
+        # Param tree is identical to the MLPHead modules, so train/eval
+        # and converted checkpoints stay interchangeable.
+        head_params = None
+        if (not train) and self.head_name == "mlp" \
+                and all(self.num_outputs[t] <= 128 for t in self.tasks):
+            from mtt_tpu.models.heads import MLPHeadParams
+            D = self.embed_dim + self.pred_out
+            head_params = {
+                t: MLPHeadParams(self.num_outputs[t], D,
+                                 name=f"head_{t}")()
+                for t in self.tasks}
+        task_features, inter_preds = decoder(taps, grid, train=train,
+                                             head_params=head_params)
 
         head_cls = HEADS[self.head_name]
         out = {}
         for t in self.tasks:
-            logits = head_cls(self.num_outputs[t], dtype=self.dtype,
-                              name=f"head_{t}")(task_features[t], train=train)
+            if head_params is not None:
+                logits = task_features[t]   # decoder emitted logits
+            else:
+                logits = head_cls(self.num_outputs[t], dtype=self.dtype,
+                                  name=f"head_{t}")(task_features[t],
+                                                    train=train)
             out[t] = interpolate(logits, img_size, "bilinear")
         out["inter_preds"] = {
             t: interpolate(v, img_size, "bilinear") for t, v in inter_preds.items()}

@@ -186,13 +186,25 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
         from mtt_tpu.utils.tb_writer import SummaryWriter, flatten_scores
         tb = SummaryWriter(os.path.join(p["save_dir"], "tb"))
     save_tasks = ("edge",) if "edge" in p.TASKS.NAMES else None
+    # train-set 3D-det vis at the first batch of each epoch (reference
+    # TaskPrompter/utils/train_utils.py:53-95); opt out with
+    # train_vis_3ddet: false
+    det_vis = ("3ddet" in p.TASKS.NAMES and "save_dir" in p
+               and p.get("train_vis_3ddet", True)
+               and jax.process_index() == 0)
     t0 = time.time()
     while it < max_iter:
         train_loader.set_epoch(epoch)
+        first_in_epoch = True
         # double-buffered H2D: the next batch's transfer overlaps this
         # step's compute (device_put is async) — a few-% win on a local
         # host, decisive through a slow host link (VERDICT r2 weak #4)
         for batch in prefetch_to_device(train_loader, trainer.data_sharding):
+            if det_vis and first_in_epoch:
+                # reference renders the first train batch's predictions
+                # each epoch with the pre-step params
+                _train_det_vis(p, trainer, state, batch, batch, epoch)
+                first_in_epoch = False
             profiler.maybe_start(it)
             state, losses = trainer.train_step(state, batch, rng)
             profiler.maybe_stop(it)
@@ -234,6 +246,49 @@ def train_phase(p, trainer: Trainer, state, train_loader, val_loader=None,
     if tb is not None:
         tb.close()
     return state, history
+
+
+def _train_det_vis(p, trainer: Trainer, state, batch, dev, epoch: int):
+    """Train-set 3D-det dump at the first batch of each epoch (reference
+    TaskPrompter/utils/train_utils.py:53-95): per-sample official-format
+    bbox JSON (always) + wireframe PNG for samples with >=1 prediction,
+    under save_dir/train/3ddet with a 'b<epoch>_' filename prefix."""
+    import cv2
+
+    from mtt_tpu.detection.det_eval import DetRecordAccumulator
+    from mtt_tpu.detection.export import save_image_predictions
+    from mtt_tpu.utils.visualization import draw_boxes3d
+
+    if "meta" not in batch:
+        return
+    out_dir = os.path.join(p["save_dir"], "train", "3ddet")
+    os.makedirs(out_dir, exist_ok=True)
+    # shared jitted eval step (same executable as test_phase); the
+    # returned meter states are discarded — the step is functional
+    _, _, det_out = trainer._eval_step(
+        state, trainer._arrays_only(dev), trainer.meter.states)
+    if det_out is None:
+        return
+    acc = DetRecordAccumulator(p)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    for i, meta, dec, objs in acc.decode_batch(det_out, batch):
+        fname = f"b{epoch}_{meta['img_name']}"
+        save_image_predictions(out_dir, fname, objs)
+        n_boxes = int(np.asarray(dec["valid"]).sum())
+        if n_boxes > 0:
+            try:
+                # local row of a (possibly process-global) device array
+                img = np.asarray(jax.device_get(batch["image"][i]),
+                                 np.float32)
+            except RuntimeError:   # non-addressable shard under nproc>1
+                continue
+            img = np.clip((img * std + mean) * 255.0, 0, 255).astype(np.uint8)
+            K = np.asarray(meta["K_matrix"], np.float32)
+            vis = draw_boxes3d(img, np.asarray(dec["boxes3d"]), K,
+                               valid=np.asarray(dec["valid"]))
+            cv2.imwrite(os.path.join(out_dir, f"{fname}_{n_boxes}.png"),
+                        cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
 
 
 def test_phase(p, trainer: Trainer, state, val_loader,

@@ -7,9 +7,14 @@ InvPT/models/transformers/invpt.py:520-543 (upsample-sum + conv+BN+ReLU).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mtt_tpu.kernels.invpt_tail import (_ok, _tail_plan, _tail_xla,
                                         fused_ms_tail)
+
+# the production default is "stencil"; "dots" is the live fallback that
+# runs whenever _stencil_plan fails — both must keep parity coverage
+HMIX_MODES = ("stencil", "dots")
 
 
 def _inputs(rng, B, th, tw, C=576, D=576, dtype=jnp.float32):
@@ -21,7 +26,9 @@ def _inputs(rng, B, th, tw, C=576, D=576, dtype=jnp.float32):
     return xs, kc, inv, addv
 
 
-def test_tail_matches_dense_square():
+@pytest.mark.parametrize("hmix", HMIX_MODES)
+def test_tail_matches_dense_square(hmix, monkeypatch):
+    monkeypatch.setenv("MTT_TAIL_HMIX", hmix)
     rng = np.random.default_rng(0)
     th = tw = 64  # smaller than bench (128) for test speed; same factors
     xs, kc, inv, addv = _inputs(rng, 2, th, tw, C=192, D=160)
@@ -32,9 +39,11 @@ def test_tail_matches_dense_square():
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
-def test_tail_matches_dense_nonsquare_nyud():
+@pytest.mark.parametrize("hmix", HMIX_MODES)
+def test_tail_matches_dense_nonsquare_nyud(hmix, monkeypatch):
     """NYUD grid: 448x576 -> (th, tw) = (112, 144), scales (14,18),
     (28,36), (56,72)."""
+    monkeypatch.setenv("MTT_TAIL_HMIX", hmix)
     rng = np.random.default_rng(1)
     th, tw = 112, 144
     xs, kc, inv, addv = _inputs(rng, 1, th, tw, C=192, D=192)
@@ -77,3 +86,22 @@ def test_tail_gradients_flow():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [21, 1])
+def test_tail_head_fused_matches_dense(n, monkeypatch):
+    """Head-fused tail (partial-logit chunks summed over nj) vs the dense
+    tail + f32 matmul composition."""
+    monkeypatch.setenv("MTT_TAIL_HMIX", "stencil")
+    rng = np.random.default_rng(4)
+    th = tw = 64
+    xs, kc, inv, addv = _inputs(rng, 2, th, tw, C=192, D=192)
+    wh = jnp.asarray(rng.normal(size=(192, n)) * 0.05, jnp.float32)
+    bh = jnp.asarray(rng.normal(size=(n,)) * 0.1, jnp.float32)
+    from mtt_tpu.kernels.invpt_tail import fused_ms_tail_head
+    ref_feats = _tail_xla(xs, kc, inv, addv, th, tw)
+    ref = np.asarray(ref_feats.reshape(-1, 192) @ wh + bh,
+                     np.float32).reshape(2, th, tw, n)
+    got = np.asarray(fused_ms_tail_head(xs, kc, inv, addv, wh, bh, th, tw,
+                                        impl="interpret"), np.float32)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=5e-5)

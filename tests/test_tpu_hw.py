@@ -360,6 +360,31 @@ class TestRound3KernelsOnTPU:
                                        impl="pallas"), np.float32)
         np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
 
+    def test_invpt_tail_head_pallas_vs_xla(self):
+        """Head-fused tail (partial-logit emission) at InvPT PASCAL bench
+        shapes: logits vs dense tail + f32 matmul."""
+        import jax.numpy as jnp
+        from mtt_tpu.kernels.invpt_tail import (_tail_xla,
+                                                fused_ms_tail_head)
+        rng = _rng(27)
+        th = tw = 128
+        C = D = 576
+        n = 21
+        xs = [jnp.asarray(rng.normal(size=(2, th // f, tw // f, C)) * 0.2,
+                          jnp.bfloat16) for f in (8, 4, 2)]
+        kc = jnp.asarray(rng.normal(size=(3, 3, C, D)) * 0.02, jnp.float32)
+        inv = jnp.asarray(1.0 + 0.1 * rng.normal(size=(D,)), jnp.float32)
+        addv = jnp.asarray(0.1 * rng.normal(size=(D,)), jnp.float32)
+        wh = jnp.asarray(rng.normal(size=(D, n)) * 0.05, jnp.float32)
+        bh = jnp.asarray(rng.normal(size=(n,)) * 0.1, jnp.float32)
+        feats = np.asarray(_tail_xla(xs, kc, inv, addv, th, tw), np.float32)
+        ref = (feats.reshape(-1, D) @ np.asarray(wh)
+               + np.asarray(bh)).reshape(2, th, tw, n)
+        got = np.asarray(fused_ms_tail_head(xs, kc, inv, addv, wh, bh,
+                                            th, tw, impl="pallas"),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, atol=8e-2, rtol=8e-2)
+
     def test_window_attention_backward_pallas_vs_xla(self):
         import jax
         import jax.numpy as jnp

@@ -111,6 +111,105 @@ def test_dp8_grads_match_single_device():
             f"grad diff {np.abs(a - b).max()} > {tol}"
 
 
+def _assert_dp8_grads_match(model, p, batch, rel=1e-5, tol_scale=1e-4):
+    """Shared DP-8-vs-1-device loss+grad equivalence harness (the DDP
+    grad-allreduce contract, InvPT/main.py:89)."""
+    from mtt_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+    from mtt_tpu.losses.loss_schemes import build_criterion
+
+    assert len(jax.devices()) >= 8
+    crit = build_criterion(p)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(params, bstats, b):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bstats}, b["image"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        return crit(out, b)["total"]
+
+    results = []
+    for n_dev in (8, 1):
+        mesh = make_mesh(n_dev)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), batch["image"], train=False)
+        variables = jax.device_put(variables, replicated(mesh))
+        dev = {k: jax.device_put(v, batch_sharding(mesh))
+               for k, v in batch.items() if hasattr(v, "shape")}
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            variables["params"], variables.get("batch_stats", {}), dev)
+        results.append((float(loss), jax.device_get(grads)))
+    (l8, g8), (l1, g1) = results
+    assert l8 == pytest.approx(l1, rel=rel)
+    # tolerance keyed to the GLOBAL grad scale: a real sharding bug
+    # (shard mispairing, per-shard BN moments) produces O(10%+) diffs on
+    # the large leaves; per-leaf relative tolerances on near-zero-max
+    # leaves only chase fp32 reduction-order noise (proven noise: the
+    # diff collapses ~100x under JAX_ENABLE_X64)
+    gscale = max(float(np.abs(np.asarray(b)).max())
+                 for b in jax.tree.leaves(g1))
+    tol = 1e-6 + tol_scale * max(gscale, 1e-3)
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(a - b).max() <= tol, \
+            f"grad diff {np.abs(a - b).max()} > {tol}"
+
+
+def test_dp8_grads_match_single_device_invpt():
+    """DP-8 grad equivalence through the BatchNorm-everywhere InvPT
+    decoder: under GSPMD the batch moments are GLOBAL (the SyncBN
+    contract, InvPT/models/transformers/invpt.py:14) — a per-shard-
+    moments bug would show up as an 8-vs-1-device grad difference, which
+    the TaskPrompter-only test cannot catch (it has no BN).
+
+    Tolerance note: BN amplifies fp32 reduction-order noise (moments are
+    partial-sum-then-combine under DP-8 vs one flat reduction on 1
+    device). Measured: max grad diff 5.7e-5 in f32 collapses ~100x to
+    6e-7 when the same comparison runs under JAX_ENABLE_X64 — i.e. the
+    difference is rounding, not a moments/sharding bug (a per-shard-
+    moments bug would persist at any precision)."""
+    from mtt_tpu.models.wrappers import TransformerNet
+
+    tasks = ("semseg", "depth", "edge", "normals")
+    p = tiny_config()
+    p["intermediate_supervision"] = True
+    model = TransformerNet(tasks=tasks,
+                           num_outputs=dict(p.TASKS.NUM_OUTPUT),
+                           backbone_name="vitT", embed_dim=32, pred_out=16)
+    _assert_dp8_grads_match(model, p, _batch(), rel=1e-4, tol_scale=4e-3)
+
+
+def test_dp8_grads_match_single_device_swin_det():
+    """DP-8 grad equivalence through the Swin backbone + FCOS3D detection
+    loss path (padded GT, per-sample target assignment, label-less
+    masking) — exactly the per-sample-pairing territory where the r3
+    det-eval mispairing bug lived."""
+    from tests.test_cs3d_e2e import cs3d_tiny_config
+    from mtt_tpu.models.wrappers import TaskPrompterSwinNet
+    from mtt_tpu.data.synthetic import SyntheticMT
+    from mtt_tpu.data.loader import collate
+    import cv2
+
+    p = cs3d_tiny_config()
+    model = TaskPrompterSwinNet(
+        tasks=tuple(p.TASKS.NAMES), num_outputs=dict(p.TASKS.NUM_OUTPUT),
+        tar_dim=12, final_dim=20, chan_embed_dim=16, det_cfg=p.det_cfg,
+        target_size=(32, 64), embed_dim=16, depths=(1, 1, 1, 1),
+        num_heads=(2, 2, 2, 2), window_size=4)
+    ds = SyntheticMT(p.TASKS.NAMES, dict(p.TASKS.NUM_OUTPUT),
+                     size=(64, 128), length=8,
+                     max_boxes=p.det_cfg.max_boxes)
+    batch = collate([ds[i] for i in range(8)])
+    for k in ("semseg", "depth"):
+        v = batch[k]
+        batch[k] = np.stack([
+            cv2.resize(v[i, ..., 0], (64, 32),
+                       interpolation=cv2.INTER_NEAREST)[..., None]
+            for i in range(v.shape[0])])
+    # focal/GIoU losses mix per-sample masked reductions: slightly wider
+    # fp tolerance than the dense 2D tasks
+    _assert_dp8_grads_match(model, p, batch, rel=2e-5, tol_scale=2e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mtt_tpu.utils.train_utils import Trainer
 
