@@ -41,7 +41,11 @@ try:  # pltpu only resolves on TPU-enabled builds
 except ImportError:  # pragma: no cover
     pltpu = None
 
+# in-kernel gelu: the polynomial-only erf (no divide/exp) — the
+# head's gelu is VPU-exposed (not MXU-overlapped like the MLP's)
+# and measures 0.285 -> 0.113 ms/head-call (tools/proto_head_abl.py)
 from mtt_tpu.kernels.mlp import _gelu_erf_poly
+from mtt_tpu.kernels.mlp import _gelu_erf_poly_fast
 
 
 def _gm_hc(gh: int, gw: int):
@@ -99,7 +103,7 @@ def _head_kernel(x_ref, wf_ref, swt_ref, sht_ref, inv_ref, addv_ref,
             y += jax.lax.dot_general(
                 sh_k, bk_ref[k], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (H, W, ds)
-        t = _gelu_erf_poly(y * ivec[None, None, :] + avec[None, None, :])
+        t = _gelu_erf_poly_fast(y * ivec[None, None, :] + avec[None, None, :])
         tv = t.astype(jnp.bfloat16).reshape(sh * W4, 128)
         part = jax.lax.dot_general(tv, kp_ref[...], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -182,15 +186,19 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
 
     jax.lax.fori_loop(0, gh // hc, _gm_chunk, 0)
     gm = gm_ref[...].reshape(gh, gw, 9 * 128)
-    swb = [jnp.broadcast_to(swt_ref[l][None], (gh, W4, gw))
-           for l in range(3)]
+    # K-folded width mix: one batched dot per k with the 3 l-taps
+    # concatenated on the contraction dim — K = 3*gw instead of gw
+    # (25% -> 75% MXU pass utilisation at gw=32; measured -0.1 ms/head,
+    # tools/proto_head_abl.py wmix96)
+    sw3 = jnp.concatenate([swt_ref[l] for l in range(3)], axis=1)
+    swb3 = jnp.broadcast_to(sw3[None], (gh, W4, 3 * gw))
     for k in range(3):
-        acc = jnp.zeros((gh, W4, 128), jnp.float32)
-        for l in range(3):
-            a_kl = gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
-            acc += jax.lax.dot_general(
-                swb[l], a_kl, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+        a_k = jnp.concatenate(
+            [gm[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+             for l in range(3)], axis=1)
+        acc = jax.lax.dot_general(
+            swb3, a_k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         bk_ref[k] = acc.astype(jnp.bfloat16)          # (h', W, ds)
     ivec = inv_ref[0]
     avec = addv_ref[0]
@@ -225,7 +233,7 @@ def _head_kernel_stencil(x_ref, wf_ref, swt_ref, inv_ref, addv_ref,
                     rowl = rowl + cl * bk_ref[k, gh - 3 + hi:gh - 2 + hi] \
                         .astype(jnp.float32)
         y = jnp.concatenate([row0, y[1:gh - 1], rowl], axis=0)
-        t = _gelu_erf_poly(y * ivec[None, None, :] + avec[None, None, :])
+        t = _gelu_erf_poly_fast(y * ivec[None, None, :] + avec[None, None, :])
         tv = t.astype(jnp.bfloat16).reshape(gh * W4, 128)
         part = jax.lax.dot_general(tv, kp_ref[...], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -325,7 +333,7 @@ def _head_kernel_stencil2(x_ref, wf_ref, inv_ref, addv_ref, kp_ref, o_ref,
                             bk_ref[k, px, G - 3 + hi:G - 2 + hi] \
                             .astype(jnp.float32)
             y = jnp.concatenate([row0, y[1:G - 1], rowl], axis=0)
-            t = _gelu_erf_poly(y * ivec[None, None, :]
+            t = _gelu_erf_poly_fast(y * ivec[None, None, :]
                                + avec[None, None, :])
             tv = t.astype(jnp.bfloat16).reshape(G * G, 128)
             part = jax.lax.dot_general(tv, kp_ref[...],

@@ -98,16 +98,19 @@ def _tail_kernel(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
 
     def _wmix(gm3, sw_ref, gh, gw):
         """gm3 (gh, gw, 9*128) -> [bk_k (gh, tw, 128) bf16 for k in 0..2]
-        via h'-batched dots contracting the low-res width."""
+        via K-folded h'-batched dots: the 3 l-taps concatenate on the
+        contraction dim (K = 3*gw; 3x the MXU pass utilisation of the
+        per-tap K=gw dots, tools/proto_head_abl.py wmix96)."""
+        sw3 = jnp.concatenate([sw_ref[l] for l in range(3)], axis=1)
+        swb3 = jnp.broadcast_to(sw3[None], (gh, tw, 3 * gw))
         out = []
         for k in range(3):
-            acc = jnp.zeros((gh, tw, 128), jnp.float32)
-            for l in range(3):
-                a_kl = gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
-                swb = jnp.broadcast_to(sw_ref[l][None], (gh, tw, gw))
-                acc += jax.lax.dot_general(
-                    swb, a_kl, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
+            a_k = jnp.concatenate(
+                [gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+                 for l in range(3)], axis=1)
+            acc = jax.lax.dot_general(
+                swb3, a_k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
             out.append(acc.astype(gm3.dtype))
         return out
 
@@ -332,15 +335,17 @@ def _tail_kernel_st(x0_ref, x1_ref, x2s_ref, wf_ref, sw0_ref, sw1_ref,
         return jnp.concatenate(outs, axis=0) if nch > 1 else outs[0]
 
     def _wmix(gm3, sw_ref, gh, gw):
+        # K-folded (K = 3*gw) like the stencil kernel's _wmix
+        sw3 = jnp.concatenate([sw_ref[l] for l in range(3)], axis=1)
+        swb3 = jnp.broadcast_to(sw3[None], (gh, tw, 3 * gw))
         out = []
         for k in range(3):
-            acc = jnp.zeros((gh, tw, 128), jnp.float32)
-            for l in range(3):
-                a_kl = gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
-                swb = jnp.broadcast_to(sw_ref[l][None], (gh, tw, gw))
-                acc += jax.lax.dot_general(
-                    swb, a_kl, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
+            a_k = jnp.concatenate(
+                [gm3[:, :, (k * 3 + l) * 128:(k * 3 + l + 1) * 128]
+                 for l in range(3)], axis=1)
+            acc = jax.lax.dot_general(
+                swb3, a_k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
             out.append(acc.astype(gm3.dtype))
         return out
 

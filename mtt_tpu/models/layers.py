@@ -334,6 +334,24 @@ def _upsample_matmul(x, size):
     O, P = size
     R = jnp.asarray(_linear_resize_matrix(H, O), x.dtype)
     Cm = jnp.asarray(_linear_resize_matrix(W, P), x.dtype)
+    if C <= 4:
+        # the generic cols-dot below has N=C output lanes; for the 1-3
+        # channel task logits XLA lowers it as a VPU multiply-reduce
+        # (measured 0.5 TF/s — 2.26 ms for one NYUD upsample pair).
+        # Per-channel (O,H)@(B,H,W) then (B*O,W)@(W,P) keeps both dots
+        # MXU-shaped (N = W resp. P).
+        R3 = jnp.broadcast_to(R, (B, O, H))
+        CmT = Cm.T                                  # (W, P)
+        outs = []
+        for c in range(C):
+            yr = jax.lax.dot_general(
+                R3, x[..., c], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            yc = jax.lax.dot_general(
+                yr.reshape(B * O, W), CmT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(yc.astype(x.dtype).reshape(B, O, P, 1))
+        return outs[0] if C == 1 else jnp.concatenate(outs, axis=-1)
     # rows: batched over B with the tiny (O, H) matrix broadcast — the
     # output comes out in (B, O, W*C) order directly, avoiding the
     # (O, B, ...) -> (B, O, ...) transpose copy of the upsampled map

@@ -153,26 +153,55 @@ def _bench_train(p, model, batch, steps, label):
     jax.block_until_ready(batch["image"])
     state, losses = trainer.train_step(state, batch, key)   # compile
     float(jax.device_get(losses["total"]))
-    # per-step device_get sync: through the remote tunnel an UNSYNCED
-    # dispatch queue drains pathologically (a 150 ms step read as 1.9 s);
-    # block_until_ready can also return early. The first synced step
-    # is discarded (queue-drain tail).
+    # per-step device_get sync first (discard one queue-drain step):
+    # recorded as the conservative secondary number
     state, losses = trainer.train_step(state, batch, key)
     float(jax.device_get(losses["total"]))
     t0 = time.perf_counter()
     for _ in range(steps):
         state, losses = trainer.train_step(state, batch, key)
         float(jax.device_get(losses["total"]))
-    dt = time.perf_counter() - t0
-    imgs = steps * B / dt
+    synced_ms = (time.perf_counter() - t0) / steps * 1000
+
+    # chained-window timing is the headline: successive steps depend on
+    # the donated state, so the device runs them back to back and ONE
+    # end-of-window device_get drains everything — exactly how
+    # train_phase runs (it syncs only at log intervals). Through the
+    # remote tunnel this removes ~30 ms/step of per-dispatch round-trip
+    # that no local production loop would pay. Guard against the r2
+    # unsynced-queue pathology (a 150 ms step once read as 1.9 s): two
+    # window sizes must agree within 15%, else report the synced number.
+    def window(n):
+        nonlocal state, losses
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, losses = trainer.train_step(state, batch, key)
+            float(jax.device_get(losses["total"]))
+            dt_ = (time.perf_counter() - t0) / n
+            best = dt_ if best is None else min(best, dt_)
+        return best * 1000
+
+    w1 = window(max(steps, 10))
+    w2 = window(2 * max(steps, 10))
+    if abs(w1 - w2) <= 0.15 * max(w1, w2):
+        ms = min(w1, w2)
+        mode = "chained"
+    else:
+        ms = synced_ms
+        mode = f"per-step-synced (windows diverged: {w1:.1f}/{w2:.1f})"
+    imgs = B / ms * 1000
     d = derive(imgs, 3.0 * tflop_fwd)
     if tflop_fwd > 0:
         d["train_flops_note"] = (
             f"3x fwd FLOPs ({tflop_fwd:.4g} TFLOP/img fwd); remat "
             "recompute not counted")
     return {"metric": f"train step ms/iter ({label})",
-            "value": round(dt / steps * 1000, 1), "unit": "ms/iter",
-            "imgs_per_sec": round(imgs, 2), **d}
+            "value": round(ms, 1), "unit": "ms/iter",
+            "imgs_per_sec": round(imgs, 2),
+            "timing_mode": mode,
+            "ms_per_iter_synced": round(synced_ms, 1), **d}
 
 
 def bench_train_step(steps=10):
