@@ -53,9 +53,15 @@ class TransformerNet(nn.Module):
         # tail kernel (the five (B, th, tw, 576) feature maps and their
         # head re-reads — ~1.5 GB HBM/step at bench shapes — vanish).
         # Param tree is identical to the MLPHead modules, so train/eval
-        # and converted checkpoints stay interchangeable.
+        # and converted checkpoints stay interchangeable. OPT-IN
+        # (MTT_TAIL_HEAD=1): wall-time-neutral on the bench (the tail
+        # kernel is compute-bound; its stores were already overlapped)
+        # and the 40 MB scoped-VMEM cap it needs costs Swin ~3%
+        # (docs/PERF.md r5).
+        import os as _os
         head_params = None
         if (not train) and self.head_name == "mlp" \
+                and _os.environ.get("MTT_TAIL_HEAD") == "1" \
                 and all(self.num_outputs[t] <= 128 for t in self.tasks):
             from mtt_tpu.models.heads import MLPHeadParams
             D = self.embed_dim + self.pred_out

@@ -21,13 +21,16 @@ def _ensure_scoped_vmem_limit():
     # mutated LIBTPU_INIT_ARGS into subprocesses they spawn
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         return
-    # 38 MB: the fused up4 head kernel needs ~20.6 MB, the in-VMEM InvPT
-    # multi-scale tail ~24.0 MB (both measured from compiler OOM
-    # reports), and the head-fused tail variant adds an 8.4 MB f32
-    # logits-accumulator scratch (lane-padded (8,16,128,128)) on top —
-    # plus the resident whole-image out block (4.2 MB) — ~40 MB peak. v5e VMEM is 128 MB/core; parity on hardware:
-    # tests/test_tpu_hw.py::test_invpt_tail_head_pallas_vs_xla
-    flag = "--xla_tpu_scoped_vmem_limit_kib=40960"
+    # 28 MB: the fused up4 head kernel needs ~27.5 MB at NYUD n=40, the
+    # in-VMEM InvPT multi-scale tail ~24.0 MB (measured from compiler
+    # OOM reports). Raising the cap further is NOT free: at 40 MB the
+    # Swin CS3D inference step loses ~3% (11.76 -> 11.41 imgs/s — the
+    # scoped window comes out of the VMEM XLA uses for its own conv
+    # fusion buffers). The head-fused InvPT tail variant needs ~40 MB
+    # (8.4 MB f32 logits accumulator + 4.2 MB resident out block) and
+    # is opt-in via MTT_TAIL_HEAD=1, which raises the cap here.
+    kib = 40960 if os.environ.get("MTT_TAIL_HEAD") == "1" else 28672
+    flag = f"--xla_tpu_scoped_vmem_limit_kib={kib}"
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "scoped_vmem_limit" not in cur:
         os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + flag).strip()

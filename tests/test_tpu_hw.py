@@ -362,7 +362,15 @@ class TestRound3KernelsOnTPU:
 
     def test_invpt_tail_head_pallas_vs_xla(self):
         """Head-fused tail (partial-logit emission) at InvPT PASCAL bench
-        shapes: logits vs dense tail + f32 matmul."""
+        shapes: logits vs dense tail + f32 matmul. Needs the 40 MB
+        scoped-VMEM cap the opt-in MTT_TAIL_HEAD=1 sets (the default
+        28 MB cap OOMs the logits-accumulator scratch); run with
+        MTT_TAIL_HEAD=1 MTT_TEST_TPU=1."""
+        import os
+        if os.environ.get("MTT_TAIL_HEAD") != "1":
+            import pytest
+            pytest.skip("opt-in kernel: needs MTT_TAIL_HEAD=1 "
+                        "(40 MB scoped-VMEM cap)")
         import jax.numpy as jnp
         from mtt_tpu.kernels.invpt_tail import (_tail_xla,
                                                 fused_ms_tail_head)
