@@ -570,3 +570,54 @@ def test_mlp_ln_res_handwritten_bwd_bf16():
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale,
                                    atol=3e-2, rtol=0, err_msg=nm)
+
+
+def test_gelu_fast_poly_accuracy():
+    """Polynomial-only gelu (head kernels) vs exact erf gelu: |err| must
+    stay an order below bf16 rounding across the active range."""
+    import numpy as np
+    from scipy.special import erf
+    from mtt_tpu.kernels.mlp import _gelu_erf_poly_fast
+
+    x = np.linspace(-8.0, 8.0, 20001).astype(np.float32)
+    exact = 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+    got = np.asarray(_gelu_erf_poly_fast(jnp.asarray(x)), np.float32)
+    assert np.abs(got - exact).max() <= 3e-4
+
+
+def test_upsample_small_c_matches_generic():
+    """The small-C MXU path of _upsample_matmul must equal the generic
+    cols-dot form (same 2-tap half-pixel math, different dot shapes)."""
+    import numpy as np
+    from mtt_tpu.models.layers import _upsample_matmul
+
+    rng = np.random.default_rng(0)
+    for C in (1, 2, 3):
+        x = jnp.asarray(rng.normal(size=(2, 14, 18, C)), jnp.float32)
+        small = _upsample_matmul(x, (112, 144))
+        # generic path: pad channels past the small-C threshold, slice
+        xp = jnp.concatenate([x] * ((5 + C) // C), axis=-1)[..., :5]
+        gen = _upsample_matmul(xp, (112, 144))[..., :C]
+        np.testing.assert_allclose(np.asarray(small), np.asarray(gen),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_fallback_log_records_and_bench_gate():
+    """Kernel gates must record a fallback when the Pallas path is
+    requested but rejected (the bench's loud-fallback contract)."""
+    import numpy as np
+    from mtt_tpu.kernels import fallback_log
+    from mtt_tpu.kernels.head_up4 import _fused_head
+
+    fallback_log.reset_fallbacks()
+    # f32 input: head kernel gate rejects (bf16-only) -> must record
+    x = jnp.asarray(np.zeros((1, 8, 8, 64), np.float32))
+    kc = jnp.zeros((3, 3, 64, 64), jnp.float32)
+    inv = jnp.ones((64,), jnp.float32)
+    addv = jnp.zeros((64,), jnp.float32)
+    kp = jnp.zeros((64, 3), jnp.float32)
+    _fused_head(x, kc, inv, addv, kp, "pallas")
+    seen = fallback_log.fallbacks_seen()
+    assert any(k[0] == "head_up4" for k in seen), seen
+    fallback_log.reset_fallbacks()
+    assert not fallback_log.fallbacks_seen()
