@@ -93,6 +93,13 @@ class SyntheticMT:
         if "3ddet" in self.tasks:
             sample["meta"]["K_matrix"] = np.array(
                 [[1000.0, 0, w / 2], [0, 1000.0, h / 2], [0, 0, 1]], np.float32)
+            # official-format export/eval needs the camera intrinsics +
+            # S<-V transform too (detection/export.py); identity vehicle
+            # frame for synthetic data
+            sample["meta"]["camera"] = {
+                "fx": 1000.0, "fy": 1000.0, "u0": w / 2.0, "v0": h / 2.0,
+                "sensor_T_ISO_8855": [[1, 0, 0, 0], [0, 1, 0, 0],
+                                      [0, 0, 1, 0]]}
         if self.transform is not None:
             sample = self.transform(sample, rng or np.random.default_rng(idx))
         return sample

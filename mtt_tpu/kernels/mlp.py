@@ -168,6 +168,14 @@ def _mlp_xla(x3, w1, b1, w2, b2):
 
 def _pallas_ok(x3, w1) -> bool:
     C, H = w1.shape
+    N = x3.shape[-2]
+    # XLA stages a custom call's operand + result in scoped VMEM when
+    # it gives them S(1) layouts; an f32 (N, C) pair past the 28 MB
+    # scoped cap then fails AT COMPILE ("allocating on stack for %mlp
+    # ..."), observed on the f32 CS3D train CLI at (1, 4608, 1024).
+    # Route oversized-staging shapes to the XLA path instead.
+    if 2 * N * C * x3.dtype.itemsize > 26 * 2 ** 20:
+        return False
     # weights in lane-aligned blocks; scratch + operands within VMEM.
     # H <= 4096 runs as a single hidden block; larger H needs 1024-aligned
     # sub-blocks (grid nsub = H // block_h must cover H exactly).

@@ -259,8 +259,10 @@ def _train_det_vis(p, trainer: Trainer, state, batch, dev, epoch: int):
     from mtt_tpu.detection.export import save_image_predictions
     from mtt_tpu.utils.visualization import draw_boxes3d
 
-    if "meta" not in batch:
-        return
+    if "meta" not in batch or not batch["meta"] \
+            or "camera" not in batch["meta"][0] \
+            or "K_matrix" not in batch["meta"][0]:
+        return   # vis needs camera intrinsics; never fail the train loop
     out_dir = os.path.join(p["save_dir"], "train", "3ddet")
     os.makedirs(out_dir, exist_ok=True)
     # shared jitted eval step (same executable as test_phase); the
