@@ -68,6 +68,29 @@ def capture(tdir, steps):
     from mtt_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("MTT_BENCH_MODEL") == "invpt":
+        # InvPT-ViT-L NYUD train step — same workload as
+        # tools/bench_all.py:bench_train_step_invpt_nyud
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_all import _train_batch_for
+        p = create_config(os.path.join(REPO, "configs/nyud/"
+                                       "invpt_vitLp16.yml"),
+                          {"run_mode": "train"})
+        model = build_model(p, dtype=jnp.bfloat16)
+        batch = _train_batch_for(p, 2, 448, 576, np.random.default_rng(0))
+        trainer = Trainer(p, model)
+        state = trainer.init_state(batch)
+        key = jax.random.PRNGKey(0)
+        batch = jax.device_put(batch, trainer.data_sharding)
+        jax.block_until_ready(batch["image"])
+        state, losses = trainer.train_step(state, batch, key)
+        jax.block_until_ready(losses["total"])
+        jax.profiler.start_trace(tdir)
+        for _ in range(steps):
+            state, losses = trainer.train_step(state, batch, key)
+        float(jax.device_get(losses["total"]))
+        jax.profiler.stop_trace()
+        return
     p = create_config(os.path.join(REPO, "configs/pascal/"
                                    "taskprompter_vitLp16.yml"),
                       {"run_mode": "train"})
