@@ -8,9 +8,19 @@ documented FLOP-based derivation applied PER CONFIG to that config's own
 measured forward cost (r3 VERDICT weak #1: a fixed ViT-L denominator
 flattered ViT-B 3x and understated InvPT):
 
-  * Forward cost: XLA cost_analysis of the benched model (the Pallas
-    kernels hide FLOPs from cost_analysis, so the count comes from an
-    all-XLA lowering of the same model via the impl env switches).
+  * Forward cost: XLA cost_analysis of the REFERENCE's operator
+    composition for this workload (the Pallas kernels hide FLOPs from
+    cost_analysis, so the count comes from an all-XLA lowering via the
+    impl env switches). The counting lowering also forces
+    MTT_HEAD_IMPL=dense: the reference applies each ConvHead's 3x3 conv
+    to the 4x-UPSAMPLED feature map (taskprompter.py:411-421,688-698);
+    this repo's factored/fused up4 head computes the identical math with
+    ~8.7x fewer head FLOPs, and counting THOSE would silently credit our
+    algorithmic win to the A100 reference (shrinking tflop_per_img
+    inflates the imgs/s target; the r4 NYUD/ViT-B entries lost 13-33%
+    of their numerator exactly this way while the headline was pinned to
+    the pre-factoring count of 1.006 — the live dense-composition count
+    reproduces it at 1.007, docs/PERF.md r5 numerator section).
   * Reference precision: the published recipe is plain fp32 eager — no
     autocast/GradScaler anywhere (SURVEY.md par.2.5); torch>=1.12 also
     disables TF32 matmuls by default. Faithful A100 ceiling: 19.5 TF/s
@@ -43,7 +53,8 @@ import numpy as np
 A100_EAGER_TFLOPS = 46.8         # 156 TF/s TF32 peak * 0.30 eager efficiency
 TARGET_MULTIPLIER = 3.0
 V5E_BF16_PEAK_TFLOPS = 195.7     # measured, tools/microbench3.py matmuls_x24
-FALLBACK_TFLOP_PER_IMG = 1.006   # headline cost_analysis, XLA attention path
+FALLBACK_TFLOP_PER_IMG = 1.006   # headline reference-composition count,
+                                 # kept as a floor should cost_analysis fail
 
 # reference dataset recipes (configs/*: input scale + task set)
 _DBS = {
@@ -62,7 +73,11 @@ _DBS = {
 
 _XLA_IMPL_ENV = {"MTT_ATTN_IMPL": "xla", "MTT_MLP_IMPL": "xla",
                  "MTT_LN_IMPL": "xla", "MTT_DECODE_IMPL": "xla",
-                 "MTT_HEAD_KERNEL_IMPL": "xla", "MTT_TAIL_IMPL": "xla"}
+                 "MTT_HEAD_KERNEL_IMPL": "xla", "MTT_TAIL_IMPL": "xla",
+                 # reference head composition: upsample4 -> conv3x3 at
+                 # full resolution (see module docstring) — the factored
+                 # up4 head must not shrink the reference's modeled cost
+                 "MTT_HEAD_IMPL": "dense"}
 
 
 def xla_flops(fn, *args) -> float:

@@ -138,3 +138,47 @@ def test_up4_head_path_matches_materialized(monkeypatch):
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
             mut_ref["batch_stats"], mut_got["batch_stats"])
+
+
+def test_bench_numerator_counts_reference_head_composition():
+    """The per-config FLOP numerator must model the REFERENCE's head
+    composition (conv3x3 on the materialised 4x-upsampled map,
+    taskprompter.py:411-421,688-698), not this repo's factored up4 head
+    (~8.7x fewer FLOPs, identical math): counting our own algorithmic
+    saving shrinks tflop_per_img and inflates the A100 target (r5
+    PERF.md "numerator drift": NYUD lost 15.7%, ViT-B a third)."""
+    import numpy as np
+    import bench
+    from mtt_tpu.models.wrappers import TaskPrompterNet
+
+    assert bench._XLA_IMPL_ENV.get("MTT_HEAD_IMPL") == "dense"
+
+    tasks = ("semseg", "edge")
+    model = TaskPrompterNet(tasks=tasks,
+                            num_outputs={"semseg": 5, "edge": 1},
+                            backbone_name="TaskPrompter_vitT", tar_dim=24,
+                            final_dim=28, use_ctr=False, drop_path_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    # xla_flops forces the dense composition regardless of ambient env
+    f_ref = bench.xla_flops(lambda vv, i: model.apply(vv, i, train=False),
+                            v, x)
+    import os
+    saved = os.environ.get("MTT_HEAD_IMPL")
+    os.environ["MTT_HEAD_IMPL"] = "factored"
+    try:
+        f_fac = float(jax.jit(
+            lambda vv, i: model.apply(vv, i, train=False)
+        ).lower(v, x).compile().cost_analysis().get("flops", -1.0))
+    finally:
+        if saved is None:
+            os.environ.pop("MTT_HEAD_IMPL", None)
+        else:
+            os.environ["MTT_HEAD_IMPL"] = saved
+    # reference composition strictly outweighs the factored lowering by
+    # the naive-head delta: 2*(4g)^2*9*C^2 per task dominates tiny grids
+    g2, C = (64 // 16) ** 2, 28
+    naive_heads = 2 * 16 * g2 * 9 * C * C * len(tasks)
+    assert f_ref > f_fac, (f_ref, f_fac)
+    assert f_ref - f_fac > 0.5 * naive_heads, (f_ref, f_fac, naive_heads)
